@@ -1,0 +1,203 @@
+"""STFT and mel-spectrogram frontends, TPU-native.
+
+Two frontends are needed for parity with the reference stack:
+
+1. Whisper-style 16 kHz 128-bin log-mel feeding the S3 FSQ tokenizer
+   (reference: speech/tools/S3Tokenizer/s3tokenizer/utils.py:220-267),
+   STFT n_fft=400 hop=160, center-padded, last frame dropped, log10 with
+   8 dB dynamic-range floor and (x+4)/4 scaling.
+
+2. HiFi-GAN-style 24 kHz 80-bin log-mel used as flow/vocoder features
+   (reference: speech/matcha/utils/audio.py:45-82), n_fft=1920 hop=480
+   win=1920, center=False with (n_fft-hop)/2 reflect padding, natural-log
+   compression with 1e-5 clip.
+
+The mel filterbank is a from-scratch Slaney-scale implementation
+(equivalent to librosa.filters.mel defaults) so we carry no librosa
+dependency; parity is tested against the reference's shipped
+mel_filters.npz asset.
+
+Everything here is static-shape and jit-friendly: framing is an index
+gather, the FFT is jnp.fft.rfft (lowered to XLA's FFT), and the mel
+projection is a single (F, M) matmul that XLA fuses with the magnitude
+computation and maps onto the MXU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (Slaney scale + Slaney norm == librosa defaults)
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(freqs: np.ndarray) -> np.ndarray:
+    freqs = np.asanyarray(freqs, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freqs / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = freqs >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(freqs, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asanyarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+                   fmax: float | None = None) -> np.ndarray:
+    """Slaney-scale, Slaney-normalized triangular mel filterbank (n_mels, 1+n_fft//2)."""
+    if fmax is None:
+        fmax = sr / 2.0
+    fft_freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2, dtype=np.float64)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# STFT
+# ---------------------------------------------------------------------------
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (same as torch.hann_window default)."""
+    n = jnp.arange(win_length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / win_length)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., num_frames, frame_length) by strided gather."""
+    t = x.shape[-1]
+    num_frames = 1 + (t - frame_length) // hop
+    idx = (np.arange(frame_length)[None, :]
+           + hop * np.arange(num_frames)[:, None])
+    return x[..., idx]
+
+
+def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+                   center: bool = True, pad: int | None = None,
+                   power: float = 2.0, eps: float = 0.0) -> jnp.ndarray:
+    """Magnitude (power or abs) spectrogram, (..., num_frames, 1+n_fft//2).
+
+    center=True reflect-pads n_fft//2 each side (torch.stft default).
+    `pad` overrides the pad amount (matcha mel uses (n_fft-hop)//2 with
+    center=False semantics, i.e. pad-then-no-center).
+    """
+    if center:
+        p = n_fft // 2 if pad is None else pad
+    else:
+        p = 0 if pad is None else pad
+    if p > 0:
+        pads = [(0, 0)] * (x.ndim - 1) + [(p, p)]
+        x = jnp.pad(x, pads, mode="reflect")
+    frames = frame_signal(x, n_fft, hop)
+    win = hann_window(win_length, x.dtype)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = jnp.pad(win, (lpad, n_fft - win_length - lpad))
+    spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
+    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if power == 2.0:
+        return mag2
+    return jnp.power(mag2 + eps, power / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Whisper-style log-mel (S3 tokenizer frontend, 16 kHz)
+# ---------------------------------------------------------------------------
+
+def whisper_log_mel(audio: jnp.ndarray, n_mels: int = 128,
+                    sr: int = 16000, n_fft: int = 400,
+                    hop: int = 160) -> jnp.ndarray:
+    """(..., T) 16 kHz audio -> (..., n_mels, n_frames) whisper log-mel.
+
+    Matches log_mel_spectrogram (reference:
+    speech/tools/S3Tokenizer/s3tokenizer/utils.py:220-267): power spectrum,
+    drop last frame, mel @ slaney filterbank, log10 clamp 1e-10, max-8dB
+    floor per example, (x+4)/4.
+    """
+    mag = stft_magnitude(audio, n_fft, hop, n_fft, center=True, power=2.0)
+    mag = mag[..., :-1, :]  # torch path drops the final frame
+    filters = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    mel = jnp.einsum("mf,...tf->...mt", filters, mag)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    floor = jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0
+    log_spec = jnp.maximum(log_spec, floor)
+    return (log_spec + 4.0) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN style log-mel (24 kHz features for flow / vocoder)
+# ---------------------------------------------------------------------------
+
+def hifigan_log_mel(audio: jnp.ndarray, n_fft: int = 1920, n_mels: int = 80,
+                    sr: int = 24000, hop: int = 480, win_length: int = 1920,
+                    fmin: float = 0.0, fmax: float | None = 8000.0) -> jnp.ndarray:
+    """(..., T) 24 kHz audio -> (..., n_mels, n_frames).
+
+    Matches mel_spectrogram (reference: speech/matcha/utils/audio.py:45-82):
+    reflect pad (n_fft-hop)/2 both sides, center=False STFT, magnitude
+    sqrt(|S|^2 + 1e-9), mel matmul, ln(clamp(x, 1e-5)).
+    """
+    mag = stft_magnitude(audio, n_fft, hop, win_length, center=False,
+                         pad=(n_fft - hop) // 2, power=2.0)
+    mag = jnp.sqrt(mag + 1e-9)
+    filters = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,...tf->...mt", filters, mag)
+    return jnp.log(jnp.maximum(mel, 1e-5))
+
+
+def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int,
+          length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT with NOLA normalization (torch.istft semantics, center=True).
+
+    real/imag: (..., F, T) with F = n_fft//2 + 1. Window = periodic hann(n_fft).
+    Used by the HiFT vocoder head (reference:
+    speech/cosyvoice/hifigan/generator.py:511-518).
+    """
+    win = hann_window(n_fft, real.dtype)
+    spec = real + 1j * imag
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)  # (..., T, n_fft)
+    frames = frames * win
+    num_frames = frames.shape[-2]
+    out_len = n_fft + hop * (num_frames - 1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, num_frames, n_fft))
+
+    # overlap-add via scatter
+    out = jnp.zeros((flat.shape[0], out_len), flat.dtype)
+    idx = (np.arange(n_fft)[None, :] + hop * np.arange(num_frames)[:, None]).reshape(-1)
+    out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
+
+    # NOLA window-envelope normalization
+    wsq = jnp.zeros((out_len,), real.dtype)
+    wsq = wsq.at[idx].add(jnp.tile(win ** 2, num_frames))
+    out = out / jnp.maximum(wsq, 1e-11)
+
+    # center trim: drop n_fft//2 from both ends (torch.istft center=True)
+    out = out[:, n_fft // 2 : out_len - n_fft // 2]
+    if length is not None:
+        out = out[:, :length]
+    return out.reshape(batch_shape + out.shape[-1:])

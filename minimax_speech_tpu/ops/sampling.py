@@ -1,0 +1,62 @@
+"""Token sampling for AR decoding — jit-compatible RAS / nucleus sampling.
+
+Reference semantics (speech/cosyvoice/utils/common.py:111-140):
+  * nucleus_sampling: stable-sorted softmax; keep tokens while the
+    *exclusive* cumulative probability is < top_p and fewer than top_k
+    tokens are kept; renormalize and sample.
+  * ras_sampling (VALL-E 2 repetition-aware sampling): if the nucleus
+    sample appears >= win_size*tau_r times in the last win_size decoded
+    tokens, fall back to sampling from the full distribution.
+
+The reference implements these with per-token Python loops on the host;
+here they are pure jnp functions usable inside lax.while_loop decode
+loops. The recent-token window is carried as a fixed-size ring buffer
+(pad with -1) instead of a growing Python list.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def nucleus_sample(key: jax.Array, logp: jnp.ndarray, top_p: float = 0.8,
+                   top_k: int = 25) -> jnp.ndarray:
+    """Sample one token id from log-probs (V,) with top-p/top-k truncation."""
+    probs = jax.nn.softmax(logp.astype(jnp.float32))
+    order = jnp.argsort(-probs, stable=True)
+    sorted_probs = probs[order]
+    cum_excl = jnp.cumsum(sorted_probs) - sorted_probs
+    rank = jnp.arange(probs.shape[0])
+    keep = (cum_excl < top_p) & (rank < top_k)
+    kept = jnp.where(keep, sorted_probs, 0.0)
+    # renormalized categorical over the kept prefix
+    idx = jax.random.categorical(key, jnp.log(jnp.maximum(kept, 1e-30)))
+    return order[idx]
+
+
+def random_sample(key: jax.Array, logp: jnp.ndarray) -> jnp.ndarray:
+    """Sample from the full softmax distribution."""
+    return jax.random.categorical(key, logp.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("top_p", "top_k", "win_size", "tau_r"))
+def ras_sample(key: jax.Array, logp: jnp.ndarray, recent_tokens: jnp.ndarray,
+               top_p: float = 0.8, top_k: int = 25, win_size: int = 10,
+               tau_r: float = 0.1) -> jnp.ndarray:
+    """Repetition-aware sampling.
+
+    recent_tokens: (win_size,) int32 ring buffer of the last decoded ids,
+    -1 on empty slots.
+    """
+    k1, k2 = jax.random.split(key)
+    top_ids = nucleus_sample(k1, logp, top_p=top_p, top_k=top_k)
+    rep_num = jnp.sum(recent_tokens == top_ids)
+    fallback = random_sample(k2, logp)
+    return jnp.where(rep_num >= win_size * tau_r, fallback, top_ids)
+
+
+def push_recent(recent_tokens: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
+    """Shift the ring buffer left and append the newest token."""
+    return jnp.concatenate([recent_tokens[1:], token[None].astype(recent_tokens.dtype)])
