@@ -1,0 +1,173 @@
+"""S3 FSQ tokenizer parity: flax model vs a torch model with identical
+semantics (written from the reference spec, random shared weights).
+
+Mirrors the reference's own parity-test strategy (synthetic audio +
+cross-implementation golden comparison, S3Tokenizer/test/test_onnx.py).
+"""
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from minimax_speech_tpu.models import s3tokenizer as s3
+
+
+# --- torch mini-reference (same math as reference model_v2.py) -------------
+
+class TorchBlock(torch.nn.Module):
+    def __init__(self, c, h, k):
+        super().__init__()
+        self.attn_ln = torch.nn.LayerNorm(c, eps=1e-6)
+        self.mlp_ln = torch.nn.LayerNorm(c)
+        self.query = torch.nn.Linear(c, c)
+        self.key = torch.nn.Linear(c, c, bias=False)
+        self.value = torch.nn.Linear(c, c)
+        self.out = torch.nn.Linear(c, c)
+        self.fsmn = torch.nn.Conv1d(c, c, k, padding=0, groups=c, bias=False)
+        self.pad = torch.nn.ConstantPad1d(((k - 1) // 2, k - 1 - (k - 1) // 2), 0.0)
+        self.mlp1 = torch.nn.Linear(c, c * 4)
+        self.mlp2 = torch.nn.Linear(c * 4, c)
+        self.h = h
+
+    def attention(self, x, bias, pad_mask, cos, sin):
+        b, t, c = x.shape
+        d = c // self.h
+        q = self.query(x).view(b, t, self.h, d)
+        k = self.key(x).view(b, t, self.h, d)
+        v = self.value(x)
+
+        def rot(u):
+            half = torch.cat((-u[..., d // 2:], u[..., : d // 2]), dim=-1)
+            return u * cos[None, :t, None] + half * sin[None, :t, None]
+
+        q, k = rot(q), rot(k)
+        vm = v * pad_mask[..., None]
+        mem = self.fsmn(self.pad(vm.transpose(1, 2))).transpose(1, 2)
+        mem = (mem + vm) * pad_mask[..., None]
+        scale = d ** -0.25
+        qk = torch.einsum("bqhd,bkhd->bhqk", q * scale, k * scale) + bias
+        w = qk.float().softmax(-1).to(x.dtype)
+        o = torch.einsum("bhqk,bkhd->bqhd", w,
+                         v.view(b, t, self.h, d)).reshape(b, t, c)
+        return self.out(o) + mem
+
+    def forward(self, x, bias, pad_mask, cos, sin):
+        x = x + self.attention(self.attn_ln(x), bias, pad_mask, cos, sin)
+        return x + self.mlp2(F.gelu(self.mlp1(self.mlp_ln(x))))
+
+
+class TorchTok(torch.nn.Module):
+    def __init__(self, n_mels, c, h, n_layer, k):
+        super().__init__()
+        self.conv1 = torch.nn.Conv1d(n_mels, c, 3, stride=2, padding=1)
+        self.conv2 = torch.nn.Conv1d(c, c, 3, stride=2, padding=1)
+        self.blocks = torch.nn.ModuleList(
+            [TorchBlock(c, h, k) for _ in range(n_layer)])
+        self.project_down = torch.nn.Linear(c, 8)
+        d = c // h
+        half = d // 2
+        freqs = 1.0 / (10000.0 ** (np.arange(half) * 2 / d))
+        ang = np.arange(512)[:, None] * freqs[None, :]
+        ang = np.concatenate([ang, ang], -1)
+        self.cos = torch.tensor(np.cos(ang), dtype=torch.float32)
+        self.sin = torch.tensor(np.sin(ang), dtype=torch.float32)
+
+    def forward(self, mel, mel_len):
+        # mel: (B, n_mels, T)
+        t = mel.shape[-1]
+        m = (torch.arange(t)[None] < mel_len[:, None]).float()[:, None]
+        x = F.gelu(self.conv1(mel * m))
+        out_len = (mel_len - 1) // 2 + 1
+        m = (torch.arange(x.shape[-1])[None] < out_len[:, None]).float()[:, None]
+        x = F.gelu(self.conv2(x * m))
+        out_len = (out_len - 1) // 2 + 1
+        x = x.transpose(1, 2)
+        pad = (torch.arange(x.shape[1])[None] < out_len[:, None]).float()
+        bias = (1.0 - pad[:, None, None, :]) * -1.0e10
+        for blk in self.blocks:
+            x = blk(x, bias, pad, self.cos, self.sin)
+        h8 = self.project_down(x).float().tanh() * 0.9990000128746033
+        codes = (h8.round() + 1) @ torch.tensor([3.0 ** i for i in range(8)])
+        return codes.int(), out_len, x
+
+
+def torch_state_to_numpy(tm: TorchTok) -> dict:
+    sd = {}
+    sd["encoder.conv1.weight"] = tm.conv1.weight.detach().numpy()
+    sd["encoder.conv1.bias"] = tm.conv1.bias.detach().numpy()
+    sd["encoder.conv2.weight"] = tm.conv2.weight.detach().numpy()
+    sd["encoder.conv2.bias"] = tm.conv2.bias.detach().numpy()
+    for i, blk in enumerate(tm.blocks):
+        pre = f"encoder.blocks.{i}."
+        sd[pre + "attn_ln.weight"] = blk.attn_ln.weight.detach().numpy()
+        sd[pre + "attn_ln.bias"] = blk.attn_ln.bias.detach().numpy()
+        sd[pre + "mlp_ln.weight"] = blk.mlp_ln.weight.detach().numpy()
+        sd[pre + "mlp_ln.bias"] = blk.mlp_ln.bias.detach().numpy()
+        sd[pre + "attn.query.weight"] = blk.query.weight.detach().numpy()
+        sd[pre + "attn.query.bias"] = blk.query.bias.detach().numpy()
+        sd[pre + "attn.key.weight"] = blk.key.weight.detach().numpy()
+        sd[pre + "attn.value.weight"] = blk.value.weight.detach().numpy()
+        sd[pre + "attn.value.bias"] = blk.value.bias.detach().numpy()
+        sd[pre + "attn.out.weight"] = blk.out.weight.detach().numpy()
+        sd[pre + "attn.out.bias"] = blk.out.bias.detach().numpy()
+        sd[pre + "attn.fsmn_block.weight"] = blk.fsmn.weight.detach().numpy()
+        sd[pre + "mlp.0.weight"] = blk.mlp1.weight.detach().numpy()
+        sd[pre + "mlp.0.bias"] = blk.mlp1.bias.detach().numpy()
+        sd[pre + "mlp.2.weight"] = blk.mlp2.weight.detach().numpy()
+        sd[pre + "mlp.2.bias"] = blk.mlp2.bias.detach().numpy()
+    sd["quantizer._codebook.project_down.weight"] = tm.project_down.weight.detach().numpy()
+    sd["quantizer._codebook.project_down.bias"] = tm.project_down.bias.detach().numpy()
+    return sd
+
+
+CFG = s3.S3TokenizerConfig(n_mels=16, n_state=64, n_head=4, n_layer=2,
+                           fsmn_kernel=7, max_position=512)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(7)
+    tm = TorchTok(CFG.n_mels, CFG.n_state, CFG.n_head, CFG.n_layer,
+                  CFG.fsmn_kernel).eval()
+    params = s3.params_from_torch_state(torch_state_to_numpy(tm))
+    jm = s3.S3TokenizerV2(CFG)
+    return tm, jm, params
+
+
+def test_token_parity(pair, rng):
+    tm, jm, params = pair
+    b, t = 2, 96
+    mel = rng.standard_normal((b, CFG.n_mels, t)).astype(np.float32)
+    mel_len = np.array([96, 57], np.int32)
+    with torch.no_grad():
+        codes_t, len_t, hid_t = tm(torch.from_numpy(mel),
+                                   torch.from_numpy(mel_len))
+    codes_j, len_j = jm.apply(params, jnp.asarray(mel.transpose(0, 2, 1)),
+                              jnp.asarray(mel_len))
+    np.testing.assert_array_equal(np.asarray(len_j), len_t.numpy())
+    for i in range(b):
+        n = int(len_t[i])
+        match = (np.asarray(codes_j)[i, :n] == codes_t.numpy()[i, :n]).mean()
+        assert match >= 0.99, f"token match {match}"
+
+
+def test_long_audio_merge(pair):
+    """Windowed path must agree with itself on boundaries and produce the
+    expected merged length."""
+    segs = [list(range(750)), list(range(1000, 1750)), list(range(2000, 2300))]
+    merged = s3.merge_window_tokens(segs)
+    # first segment keeps its left edge but drops 50 at its right edge;
+    # middle loses 50 each side; last keeps its right edge.
+    assert merged[:700] == list(range(700))
+    assert merged[700] == 1050
+    assert len(merged) == (750 - 50) + (750 - 100) + (300 - 50)
+
+
+def test_split_windows():
+    mel = np.zeros((7000, 16), np.float32)
+    wins = s3.split_windows(mel, 7000)
+    assert [w.shape[0] for w in wins] == [3000, 3000, 1800]
