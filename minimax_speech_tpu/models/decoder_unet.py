@@ -1,0 +1,184 @@
+"""Causal conditional UNet — the CFM velocity estimator.
+
+1-D "UNet" over latent frames; with the production config
+(speech/config.yaml:105-117: channels=[256], n_blocks=4,
+num_mid_blocks=12, heads 8x64, act gelu) there is no actual down/up
+sampling — it is a flat stack: 1 down stage, 12 mid stages, 1 up stage
+with a skip concat, each stage = causal resnet block + 4 transformer
+blocks. Input packs [x(80), mu(80), spks(80), cond(80)] = 320 channels.
+Reference: speech/cosyvoice/flow/decoder.py:294-496 +
+matcha/models/components/{decoder,transformer}.py.
+
+TPU-first: channel-last (B, T, C); the whole estimator is one jit
+region; attention masks are precomputed (full or chunk-causal for
+streaming) and shared across stages; timestep embedding is broadcast.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.ops import masks as mask_ops
+
+
+@dataclass(frozen=True)
+class DecoderUNetConfig:
+    in_channels: int = 320       # packed x+mu+spk+cond
+    out_channels: int = 80
+    channels: Tuple[int, ...] = (256,)
+    attention_head_dim: int = 64
+    n_blocks: int = 4            # transformer blocks per stage
+    num_mid_blocks: int = 12
+    num_heads: int = 8
+    act_fn: str = "gelu"
+    static_chunk_size: int = 50  # latent frames (2x token chunk)
+    num_left_chunks: int = -1
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0
+                       ) -> jnp.ndarray:
+    """(B,) timesteps -> (B, dim). Matches matcha SinusoidalPosEmb
+    (reference: matcha/models/components/decoder.py:14-29)."""
+    half = dim // 2
+    emb = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+    ang = scale * t[:, None].astype(jnp.float32) * jnp.asarray(emb, jnp.float32)[None]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Dense -> silu -> Dense (reference: matcha decoder.py:73-116)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.dim, name="linear_1")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, name="linear_2")(h)
+
+
+class CausalBlock1D(nn.Module):
+    """Causal conv(k=3) -> LayerNorm -> Mish, masked in/out
+    (reference: flow/decoder.py:66-80)."""
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Conv(self.dim_out, (3,), padding=[(2, 0)], name="conv")(
+            x * mask[..., None])
+        h = nn.LayerNorm(name="norm")(h)
+        h = h * jnp.tanh(jax.nn.softplus(h))  # mish
+        return h * mask[..., None]
+
+
+class CausalResnetBlock1D(nn.Module):
+    """Two causal blocks + timestep shift + 1x1 residual conv
+    (reference: flow/decoder.py:83-88, matcha decoder.py:46-62)."""
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x, mask, t_emb):
+        h = CausalBlock1D(self.dim_out, name="block1")(x, mask)
+        shift = nn.Dense(self.dim_out, name="mlp")(
+            t_emb * jnp.tanh(jax.nn.softplus(t_emb)))
+        h = h + shift[:, None, :]
+        h = CausalBlock1D(self.dim_out, name="block2")(h, mask)
+        return h + nn.Dense(self.dim_out, name="res_conv")(x * mask[..., None])
+
+
+class UNetTransformerBlock(nn.Module):
+    """LayerNorm -> MHA (no qkv bias) -> LayerNorm -> GELU-FFN, residuals.
+    Matches diffusers BasicTransformerBlock with activation_fn='gelu'
+    (reference: matcha/models/components/transformer.py:138-316)."""
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        b, t, c = x.shape
+        inner = self.num_heads * self.head_dim
+        h = nn.LayerNorm(name="norm1")(x)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(h)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(h)
+        q = q.reshape(b, t, self.num_heads, self.head_dim)
+        k = k.reshape(b, t, self.num_heads, self.head_dim)
+        v = v.reshape(b, t, self.num_heads, self.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.head_dim)
+        scores = scores.astype(jnp.float32) + attn_bias
+        w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, inner)
+        x = x + nn.Dense(c, name="to_out")(o)
+
+        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.Dense(4 * c, name="ff_in")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + nn.Dense(c, name="ff_out")(h)
+        return x
+
+
+class CausalConditionalDecoder(nn.Module):
+    cfg: DecoderUNetConfig = DecoderUNetConfig()
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spks=None, cond=None,
+                 streaming: bool = False):
+        """x, mu, cond: (B, T, 80); mask: (B, T) float; t: (B,);
+        spks: (B, 80). Returns velocity (B, T, 80)."""
+        cfg = self.cfg
+        b, tlen, _ = x.shape
+
+        t_emb = sinusoidal_pos_emb(t, cfg.in_channels)
+        t_emb = TimestepEmbedding(cfg.channels[0] * 4, name="time_mlp")(t_emb)
+
+        feats = [x, mu]
+        if spks is not None:
+            feats.append(jnp.broadcast_to(spks[:, None, :],
+                                          (b, tlen, spks.shape[-1])))
+        if cond is not None:
+            feats.append(cond)
+        h = jnp.concatenate(feats, axis=-1)
+
+        boolmask = mask > 0
+        if streaming:
+            attn = mask_ops.add_optional_chunk_mask(
+                boolmask, cfg.static_chunk_size, cfg.num_left_chunks)
+        else:
+            attn = mask_ops.add_optional_chunk_mask(boolmask, 0)
+        attn_bias = mask_ops.mask_to_bias(attn[:, None, :, :], jnp.float32)
+
+        def stage(h, dim, name):
+            h = CausalResnetBlock1D(dim, name=f"{name}_resnet")(h, mask, t_emb)
+            for j in range(cfg.n_blocks):
+                h = UNetTransformerBlock(
+                    cfg.num_heads, cfg.attention_head_dim,
+                    name=f"{name}_tf_{j}")(h, attn_bias)
+            return h
+
+        skips = []
+        for i, ch in enumerate(cfg.channels):
+            h = stage(h, ch, f"down_{i}")
+            skips.append(h)
+            # with a single channel stage the reference "downsample" is a
+            # stride-1 causal conv (flow/decoder.py:346-349)
+            h = nn.Conv(ch, (3,), padding=[(2, 0)],
+                        name=f"down_{i}_conv")(h * mask[..., None])
+
+        for i in range(cfg.num_mid_blocks):
+            h = stage(h, cfg.channels[-1], f"mid_{i}")
+
+        up_channels = tuple(reversed(cfg.channels)) + (cfg.channels[0],)
+        for i in range(len(up_channels) - 1):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = stage(h, up_channels[i + 1], f"up_{i}")
+            h = nn.Conv(up_channels[i + 1], (3,), padding=[(2, 0)],
+                        name=f"up_{i}_conv")(h * mask[..., None])
+
+        h = CausalBlock1D(up_channels[-1], name="final_block")(h, mask)
+        out = nn.Dense(cfg.out_channels, name="final_proj")(h * mask[..., None])
+        return out * mask[..., None]

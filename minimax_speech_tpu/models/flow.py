@@ -1,0 +1,186 @@
+"""Stage-2 flow model: FSQ tokens -> DAC-VAE latents (or mels).
+
+CausalMaskedDiffWithXvec equivalent (reference:
+speech/cosyvoice/flow/flow.py:201-511):
+
+  token embedding (6561 -> 512) -> UpsampleConformerEncoder (2x to
+  latent rate) -> Dense 512->80 -> CausalConditionalCFM with the causal
+  UNet estimator. Speaker conditioning from the LearnableSpeakerEncoder
+  (or an externally provided 192-d x-vector), projected to 80.
+
+Training: 50% of samples get a random prefix of the target latent as
+`cond` (prompt conditioning, flow.py:409-415); loss is (contrastive)
+OT-CFM. Inference: prompt tokens+latents are concatenated in front,
+the prompt region of `cond` is the prompt latent, 10 Euler steps with
+CFG 0.7, and the prompt region is cut from the output.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.models import cfm
+from minimax_speech_tpu.models.decoder_unet import (CausalConditionalDecoder,
+                                                    DecoderUNetConfig)
+from minimax_speech_tpu.models.speaker_encoder import (LearnableSpeakerEncoder,
+                                                       SpeakerEncoderConfig)
+from minimax_speech_tpu.models.upsample_encoder import (UpsampleConformerEncoder,
+                                                        UpsampleEncoderConfig)
+from minimax_speech_tpu.ops import masks as mask_ops
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    input_size: int = 512
+    output_size: int = 80
+    spk_embed_dim: int = 192
+    vocab_size: int = 6561
+    input_frame_rate: int = 25
+    token_latent_ratio: int = 2
+    pre_lookahead_len: int = 3
+    use_speaker_encoder: bool = True
+    n_timesteps: int = 10
+    encoder: UpsampleEncoderConfig = field(default_factory=UpsampleEncoderConfig)
+    unet: DecoderUNetConfig = field(default_factory=DecoderUNetConfig)
+    cfm: cfm.CFMConfig = field(default_factory=cfm.CFMConfig)
+    speaker: SpeakerEncoderConfig = field(default_factory=SpeakerEncoderConfig)
+
+
+class FlowModel(nn.Module):
+    cfg: FlowConfig = FlowConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size)
+        self.spk_embed_affine_layer = nn.Dense(c.output_size)
+        self.encoder = UpsampleConformerEncoder(c.encoder)
+        self.encoder_proj = nn.Dense(c.output_size)
+        self.estimator = CausalConditionalDecoder(c.unet)
+        if c.use_speaker_encoder:
+            self.speaker_encoder = LearnableSpeakerEncoder(c.speaker)
+
+    def embed_speaker(self, reference_mel: jnp.ndarray,
+                      reference_mask: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+        """(B, T, 80) reference mel -> (B, 192) unit-norm embedding."""
+        return self.speaker_encoder(reference_mel, reference_mask)
+
+    def encode_tokens(self, token, token_len, context=None, streaming=False):
+        """tokens (B, T) -> (B, 2T, 80) projected encoder output."""
+        t = token.shape[1]
+        m = mask_ops.make_non_pad_mask(token_len, t).astype(jnp.float32)
+        h = self.input_embedding(jnp.clip(token, 0, None)) * m[..., None]
+        h, h_len = self.encoder(h, token_len, context=context,
+                                streaming=streaming)
+        return self.encoder_proj(h), h_len
+
+    def estimate(self, x, mask, mu, t, spks, cond, streaming=False):
+        return self.estimator(x, mask, mu, t, spks, cond, streaming=streaming)
+
+    def __call__(self, token, token_len, feat, feat_len, embedding,
+                 key, streaming: bool = False):
+        """Training loss.
+
+        token: (B, Tt) FSQ tokens; feat: (B, Tf=2*Tt, 80) target latents;
+        embedding: (B, 192) speaker embedding (already normalized — from
+        embed_speaker or an external x-vector).
+        """
+        c = self.cfg
+        spks = self.spk_embed_affine_layer(embedding)
+
+        mu, h_len = self.encode_tokens(token, token_len, streaming=streaming)
+        tf = feat.shape[1]
+        mask = mask_ops.make_non_pad_mask(h_len, tf).astype(feat.dtype)
+
+        # random prefix conditioning (reference: flow.py:409-415): with
+        # p=0.5 per sample, expose a random prefix (<=30%) of the target
+        k_on, k_idx, k_cfm = jax.random.split(key, 3)
+        use_cond = jax.random.bernoulli(k_on, 0.5, (feat.shape[0],))
+        frac = jax.random.uniform(k_idx, (feat.shape[0],))
+        idx = (frac * 0.3 * feat_len.astype(jnp.float32)).astype(jnp.int32)
+        pos = jnp.arange(tf)[None, :]
+        cond_mask = (pos < idx[:, None]) & use_cond[:, None]
+        conds = feat * cond_mask[..., None].astype(feat.dtype)
+
+        loss, _ = cfm.compute_loss(
+            lambda p, *a: self.estimate(*a), None, k_cfm,
+            feat, mask, mu, spks, conds, c.cfm, streaming=streaming)
+        return loss
+
+    def prepare_inference(self, token, token_len, prompt_feat, embedding,
+                          streaming: bool = False, finalize: bool = True):
+        """Everything before the ODE solve: encoder output `mu`, projected
+        speaker embedding, prompt conditioning, frame mask.
+
+        token: (B, Tt) prompt+target tokens concatenated (as the reference
+        does in flow.py:469-474); prompt_feat: (B, Tp, 80).
+        """
+        c = self.cfg
+        spks = self.spk_embed_affine_layer(embedding)
+
+        if finalize:
+            mu, h_len = self.encode_tokens(token, token_len,
+                                           streaming=streaming)
+        else:
+            body = token[:, : -c.pre_lookahead_len]
+            ctx_tokens = token[:, -c.pre_lookahead_len:]
+            t = body.shape[1]
+            m = mask_ops.make_non_pad_mask(
+                token_len - c.pre_lookahead_len, t).astype(jnp.float32)
+            h = self.input_embedding(jnp.clip(body, 0, None)) * m[..., None]
+            ctx = self.input_embedding(jnp.clip(ctx_tokens, 0, None))
+            h, h_len = self.encoder(h, token_len - c.pre_lookahead_len,
+                                    context=ctx, streaming=streaming)
+            mu = self.encoder_proj(h)
+
+        tf = mu.shape[1]
+        mel_len1 = prompt_feat.shape[1]
+        mask = mask_ops.make_non_pad_mask(h_len, tf).astype(mu.dtype)
+
+        conds = jnp.zeros((mu.shape[0], tf, c.output_size), mu.dtype)
+        conds = conds.at[:, :mel_len1].set(prompt_feat)
+        return mu, mask, spks, conds
+
+
+def init_flow_variables(model: FlowModel, key, batch: int = 1,
+                        tokens: int = 8):
+    """Initialize ALL flow params (encoder + estimator + speaker affine)
+    by tracing the training path on dummy data."""
+    c = model.cfg
+    token = jnp.zeros((batch, tokens), jnp.int32)
+    feat = jnp.zeros((batch, tokens * c.token_latent_ratio, c.output_size))
+    emb = jnp.zeros((batch, c.spk_embed_dim))
+    lens = jnp.full((batch,), tokens, jnp.int32)
+    return model.init(key, token, lens, feat, lens * c.token_latent_ratio,
+                      emb, key)
+
+
+def flow_inference(model: FlowModel, variables, token, token_len,
+                   prompt_feat, embedding, noise,
+                   streaming: bool = False, finalize: bool = True):
+    """Generate latents for `token` given a latent prompt.
+
+    The Euler scan lives OUTSIDE the flax scope (a lax.scan over a bound
+    submodule leaks tracers); the estimator is re-entered through
+    model.apply per step. noise: (1 or B, >=2*Tt, 80) fixed noise table.
+    Returns (B, 2*Tt - Tp, 80).
+    """
+    c = model.cfg
+    mu, mask, spks, conds = model.apply(
+        variables, token, token_len, prompt_feat, embedding,
+        streaming, finalize, method=FlowModel.prepare_inference)
+    tf = mu.shape[1]
+    mel_len1 = prompt_feat.shape[1]
+
+    def est_apply(_, x, m_, mu_, t_, s_, c_, streaming_):
+        return model.apply(variables, x, m_, mu_, t_, s_, c_, streaming_,
+                           method=FlowModel.estimate)
+
+    z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
+    feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
+                           c.n_timesteps, c.cfm, streaming=streaming)
+    return feat[:, mel_len1:]

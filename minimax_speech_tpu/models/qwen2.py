@@ -1,0 +1,216 @@
+"""Qwen2 decoder-only backbone in flax (stage-1 LM body).
+
+Replaces the HF Qwen2ForCausalLM the reference wraps
+(reference: speech/cosyvoice/llm/llm.py:343-371). Qwen2-0.5B geometry:
+hidden 896, 24 layers, 14 heads / 2 KV heads (GQA), head_dim 64,
+intermediate 4864, rope theta 1e6, RMSNorm eps 1e-6.
+
+TPU-first decode design: the KV cache is a preallocated
+(n_layers, B, max_len, n_kv, head_dim) buffer; prefill writes the
+(right-padded) prompt at slots [0, P) and marks validity; each decode
+step writes one slot at a traced offset via dynamic-update and attends
+over the full buffer with a validity bias. RoPE is applied at write
+time with the *true* token position, so storage slots and positions
+decouple — padded prompts need no re-packing. This keeps the whole
+decode loop inside one jitted lax.while_loop (see models/llm.py) with
+static shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.ops import rope as rope_ops
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    n_layers: int = 24
+    n_heads: int = 14
+    n_kv_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 4864
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return x * scale
+
+
+class Qwen2Attention(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None):
+        """x: (B, T, C); positions: (B, T) int32 true token positions;
+        attn_bias: (B, 1, T, K) additive; cache: optional (k, v) each
+        (B, max_len, n_kv, d) for THIS layer. Returns (out, new_cache)."""
+        c = self.cfg
+        b, t, _ = x.shape
+        h, kvh, d = c.n_heads, c.n_kv_heads, c.head_dim
+        q = nn.Dense(h * d, name="q_proj")(x).reshape(b, t, h, d)
+        k = nn.Dense(kvh * d, name="k_proj")(x).reshape(b, t, kvh, d)
+        v = nn.Dense(kvh * d, name="v_proj")(x).reshape(b, t, kvh, d)
+
+        # rope at true positions (flattened batch positions)
+        cos, sin = rope_ops.rope_cos_sin(
+            0, d, c.rope_theta,
+            positions=positions.reshape(-1).astype(jnp.float32),
+            dtype=x.dtype)
+        cos = cos.reshape(b, t, 1, d)
+        sin = sin.reshape(b, t, 1, d)
+        q = q * cos + rope_ops.rotate_half(q) * sin
+        k = k * cos + rope_ops.rotate_half(k) * sin
+
+        if cache is not None:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_offset, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_offset, 0, 0))
+            keys, values = ck, cv
+            new_cache = (ck, cv)
+        else:
+            keys, values = k, v
+            new_cache = None
+
+        # GQA: repeat kv heads
+        rep = h // kvh
+        keys_r = jnp.repeat(keys, rep, axis=2)
+        values_r = jnp.repeat(values, rep, axis=2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys_r) / np.sqrt(d)
+        scores = scores.astype(jnp.float32) + attn_bias
+        w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, values_r).reshape(b, t, h * d)
+        return nn.Dense(c.hidden_size, use_bias=False, name="o_proj")(o), \
+            new_cache
+
+
+class Qwen2MLP(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        g = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(x)
+        u = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False,
+                        name="down_proj")(nn.silu(g) * u)
+
+
+class Qwen2Layer(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None):
+        h = RMSNorm(self.cfg.rms_eps, name="input_layernorm")(x)
+        a, new_cache = Qwen2Attention(self.cfg, name="self_attn")(
+            h, positions, attn_bias, cache, cache_offset)
+        x = x + a
+        h = RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x)
+        return x + Qwen2MLP(self.cfg, name="mlp")(h), new_cache
+
+
+class Qwen2Model(nn.Module):
+    """Backbone over input embeddings (the TTS LM feeds mixed
+    text/speech/special embeddings, never raw token ids)."""
+    cfg: Qwen2Config = Qwen2Config()
+
+    @nn.compact
+    def __call__(self, inputs_embeds, positions, attn_bias,
+                 cache=None, cache_offset=None):
+        """cache: optional (k, v) each (n_layers, B, max_len, n_kv, d)."""
+        x = inputs_embeds
+        new_k, new_v = [], []
+        for i in range(self.cfg.n_layers):
+            layer_cache = None
+            if cache is not None:
+                layer_cache = (cache[0][i], cache[1][i])
+            x, nc = Qwen2Layer(self.cfg, name=f"layers_{i}")(
+                x, positions, attn_bias, layer_cache, cache_offset)
+            if nc is not None:
+                new_k.append(nc[0])
+                new_v.append(nc[1])
+        x = RMSNorm(self.cfg.rms_eps, name="norm")(x)
+        if cache is not None:
+            return x, (jnp.stack(new_k), jnp.stack(new_v))
+        return x, None
+
+
+def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32):
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def causal_bias(pad_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) bool -> (B, 1, T, T) additive causal+pad bias."""
+    t = pad_mask.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    m = causal[None, :, :] & pad_mask[:, None, :]
+    return jnp.where(m, 0.0, -1e10)[:, None].astype(jnp.float32)
+
+
+def cache_bias(valid: jnp.ndarray) -> jnp.ndarray:
+    """(B, K) cache-slot validity -> (B, 1, 1, K) additive bias for
+    single-token decode steps."""
+    return jnp.where(valid, 0.0, -1e10)[:, None, None, :].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint import
+# ---------------------------------------------------------------------------
+
+def params_from_hf_state(state: dict, cfg: Qwen2Config) -> dict:
+    """Map an HF Qwen2ForCausalLM state_dict (numpy) to Qwen2Model params.
+
+    Handles 'model.' prefixes; the embedding table and (tied) lm_head are
+    returned separately: (params, embed_table, lm_head_or_None).
+    """
+    def dw(w):
+        return np.transpose(w, (1, 0))
+
+    def get(k):
+        return state.get("model." + k, state.get(k))
+
+    p: dict = {}
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}."
+        p[f"layers_{i}"] = {
+            "input_layernorm": {"weight": get(pre + "input_layernorm.weight")},
+            "post_attention_layernorm": {
+                "weight": get(pre + "post_attention_layernorm.weight")},
+            "self_attn": {
+                "q_proj": {"kernel": dw(get(pre + "self_attn.q_proj.weight")),
+                           "bias": get(pre + "self_attn.q_proj.bias")},
+                "k_proj": {"kernel": dw(get(pre + "self_attn.k_proj.weight")),
+                           "bias": get(pre + "self_attn.k_proj.bias")},
+                "v_proj": {"kernel": dw(get(pre + "self_attn.v_proj.weight")),
+                           "bias": get(pre + "self_attn.v_proj.bias")},
+                "o_proj": {"kernel": dw(get(pre + "self_attn.o_proj.weight"))},
+            },
+            "mlp": {
+                "gate_proj": {"kernel": dw(get(pre + "mlp.gate_proj.weight"))},
+                "up_proj": {"kernel": dw(get(pre + "mlp.up_proj.weight"))},
+                "down_proj": {"kernel": dw(get(pre + "mlp.down_proj.weight"))},
+            },
+        }
+    p["norm"] = {"weight": get("norm.weight")}
+    embed = get("embed_tokens.weight")
+    lm_head = state.get("lm_head.weight")
+    return {"params": p}, embed, lm_head

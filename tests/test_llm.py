@@ -1,0 +1,181 @@
+"""Stage-1 LM tests: Qwen2 backbone parity vs HF transformers, plan
+construction, KV-cache decode consistency, RAS generation."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.models import qwen2
+from minimax_speech_tpu.models.speaker_encoder import SpeakerEncoderConfig
+from minimax_speech_tpu.ops import masks as mask_ops
+
+TINY = qwen2.Qwen2Config(vocab_size=100, hidden_size=32, n_layers=2,
+                         n_heads=4, n_kv_heads=2, head_dim=8,
+                         intermediate_size=64, rope_theta=1e6)
+
+
+def hf_tiny():
+    from transformers import Qwen2Config as HFConfig, Qwen2ForCausalLM
+    cfg = HFConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   intermediate_size=64, rope_theta=1e6,
+                   max_position_embeddings=128, rms_norm_eps=1e-6,
+                   tie_word_embeddings=True, attention_dropout=0.0)
+    torch.manual_seed(11)
+    return Qwen2ForCausalLM(cfg).eval()
+
+
+def test_qwen2_parity_vs_hf(rng):
+    hf = hf_tiny()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params, embed, _ = qwen2.params_from_hf_state(state, TINY)
+
+    b, t = 2, 9
+    x = rng.standard_normal((b, t, 32)).astype(np.float32) * 0.5
+    lens = np.array([9, 6], np.int32)
+    attn = (np.arange(t)[None] < lens[:, None])
+    with torch.no_grad():
+        out = hf.model(inputs_embeds=torch.from_numpy(x),
+                       attention_mask=torch.from_numpy(attn.astype(np.int64)),
+                       output_hidden_states=True, return_dict=True)
+    golden = out.hidden_states[-1].numpy()
+
+    m = qwen2.Qwen2Model(TINY)
+    pad = jnp.asarray(attn)
+    bias = qwen2.causal_bias(pad)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    ours, _ = m.apply(params, jnp.asarray(x), positions, bias)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(ours)[i, :lens[i]],
+                                   golden[i, :lens[i]], atol=3e-5)
+
+
+def test_kv_cache_decode_matches_full_forward(rng):
+    """Incremental decode through the preallocated cache must reproduce the
+    full-sequence forward logits."""
+    m = qwen2.Qwen2Model(TINY)
+    b, t = 1, 7
+    x = jnp.asarray(rng.standard_normal((b, t, 32)).astype(np.float32))
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    pad = jnp.ones((b, t), bool)
+    params = m.init(jax.random.PRNGKey(0), x, positions,
+                    qwen2.causal_bias(pad))
+    full, _ = m.apply(params, x, positions, qwen2.causal_bias(pad))
+
+    # prefill 4, then decode 3 one by one
+    max_len = 16
+    cache = qwen2.make_cache(TINY, b, max_len)
+    pad4 = jnp.ones((b, 4), bool)
+    bias4 = qwen2.causal_bias(pad4)
+    extra = jnp.full((b, 1, 4, max_len - 4), -1e10, jnp.float32)
+    bias4 = jnp.concatenate([bias4, extra], axis=-1)
+    h4, cache = m.apply(params, x[:, :4], positions[:, :4], bias4, cache, 0)
+    np.testing.assert_allclose(np.asarray(h4), np.asarray(full[:, :4]),
+                               atol=1e-5)
+    valid = jnp.concatenate([pad4, jnp.zeros((b, max_len - 4), bool)], 1)
+    for i in range(4, 7):
+        valid = valid.at[:, i].set(True)
+        bias1 = qwen2.cache_bias(valid)
+        h1, cache = m.apply(params, x[:, i:i + 1],
+                            positions[:, i:i + 1], bias1, cache, i)
+        np.testing.assert_allclose(np.asarray(h1)[:, 0],
+                                   np.asarray(full[:, i]), atol=1e-5)
+
+
+def test_build_lm_plan_unistream():
+    plan = llm_mod.build_lm_plan([np.array([5, 6, 7])], [np.array([10, 11])],
+                                 use_spk=True, bistream_flags=[False])
+    # [sos][spk][t,t,t][task][s,s]
+    np.testing.assert_array_equal(
+        plan["src_type"][0, :8],
+        [llm_mod.SRC_SPECIAL, llm_mod.SRC_SPK] + [llm_mod.SRC_TEXT] * 3
+        + [llm_mod.SRC_SPECIAL] + [llm_mod.SRC_SPEECH] * 2)
+    np.testing.assert_array_equal(plan["tok_id"][0, :8],
+                                  [0, 0, 5, 6, 7, 1, 10, 11])
+    np.testing.assert_array_equal(
+        plan["target"][0, :8], [-1, -1, -1, -1, -1, 10, 11, 6561])
+    assert plan["seq_len"][0] == 8
+
+
+def test_build_lm_plan_bistream():
+    text = np.arange(100, 107)  # 7 text tokens
+    speech = np.arange(30)      # 30 speech tokens; ratio 30/7 > 3
+    plan = llm_mod.build_lm_plan([text], [speech], use_spk=False,
+                                 bistream_flags=[True])
+    src = plan["src_type"][0]
+    tok = plan["tok_id"][0]
+    tgt = plan["target"][0]
+    n = plan["seq_len"][0]
+    # chunk 0: 5 text + 15 speech; chunk 1: 2 text + task + 15 speech
+    expect_src = ([llm_mod.SRC_SPECIAL] + [llm_mod.SRC_TEXT] * 5
+                  + [llm_mod.SRC_SPEECH] * 15 + [llm_mod.SRC_TEXT] * 2
+                  + [llm_mod.SRC_SPECIAL] + [llm_mod.SRC_SPEECH] * 15)
+    np.testing.assert_array_equal(src[:n], expect_src)
+    # full chunk target ends with fill token, final with eos
+    assert tgt[5 + 15] == 6563  # fill after chunk-0's 15 speech targets
+    assert tgt[n - 1] == 6561
+    # speech targets of chunk 0 start after 4 IGNOREs
+    np.testing.assert_array_equal(tgt[1 + 4: 1 + 4 + 15], speech[:15])
+
+
+SMALL_LM = llm_mod.LMConfig(
+    llm_input_size=32, llm_output_size=32, speech_token_size=40,
+    qwen=TINY,
+    speaker=SpeakerEncoderConfig(mel_dim=8, model_dim=16, output_dim=12,
+                                 num_blocks=1, num_heads=2),
+    spk_embed_dim=12,
+)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    m = llm_mod.SpeechLM(SMALL_LM)
+    plan = llm_mod.build_lm_plan(
+        [np.array([5, 6, 7]), np.array([8, 9])],
+        [np.array([10, 11, 12, 13]), np.array([14, 15])],
+        use_spk=True, bistream_flags=[False, False],
+        eos=40, fill=42)
+    spk = jnp.zeros((2, 32))
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.asarray(plan["src_type"]),
+                       jnp.asarray(plan["tok_id"]),
+                       jnp.asarray(plan["target"]),
+                       jnp.asarray(plan["seq_len"]), spk)
+    return m, variables, plan
+
+
+def test_lm_training_forward(lm):
+    m, variables, plan = lm
+    spk = jnp.zeros((2, 32))
+    loss, acc = m.apply(variables, jnp.asarray(plan["src_type"]),
+                        jnp.asarray(plan["tok_id"]),
+                        jnp.asarray(plan["target"]),
+                        jnp.asarray(plan["seq_len"]), spk)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_generate_decodes(lm):
+    m, variables, _ = lm
+    src, tok, plen = llm_mod.build_inference_plan(
+        np.array([5, 6, 7]), np.array([10, 11]), use_spk=True)
+    spk = jnp.zeros((1, 32))
+    out, count = llm_mod.generate(
+        m, variables, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), spk, jax.random.PRNGKey(1),
+        jnp.array([2]), jnp.array([20]), max_steps=24)
+    n = int(count[0])
+    toks = np.asarray(out)[0]
+    assert 2 <= n <= 20
+    assert (toks[:n] >= 0).all() and (toks[:n] < 40).all()
+    assert (toks[n:] == -1).all()
+
+    # determinism with the same key
+    out2, count2 = llm_mod.generate(
+        m, variables, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), spk, jax.random.PRNGKey(1),
+        jnp.array([2]), jnp.array([20]), max_steps=24)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
