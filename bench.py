@@ -1,0 +1,98 @@
+"""End-to-end TTS benchmark on one TPU chip.
+
+Measures the full zero-shot synthesis path at production geometry
+(Qwen2-0.5B LM decode + 10-step CFG flow + DAC-VAE decode) with random
+weights and a FIXED generated-token count (min_len == max_len), so the
+compute is exactly representative while the measurement is deterministic.
+
+Prints ONE JSON line:
+  {"metric": "e2e_rtf", "value": <wall_s / audio_s>, "unit": ...,
+   "vs_baseline": <target_rtf / measured_rtf>}
+
+vs_baseline > 1 means better (faster) than the BASELINE.md target of
+RTF <= 0.1 per v5e chip. The reference publishes no RTF number
+(BASELINE.md), so the target is the north-star bound.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+TARGET_RTF = 0.1
+GEN_TOKENS = 125          # 5 s of audio at 25 Hz
+TEXT_LEN = 12
+PROMPT_SECONDS = 3.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.infer import pipeline as pl
+    from minimax_speech_tpu.models import llm as llm_mod
+
+    cfg = pl.TTSConfig(max_speech_tokens=GEN_TOKENS)
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+
+    # bf16 LM weights: the AR decode is HBM-bandwidth-bound; bf16 halves
+    # the bytes per step (RMSNorm/softmax still accumulate in fp32)
+    pipe.lm_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        pipe.lm_vars)
+
+    rng = np.random.default_rng(1986)
+    sr16 = np.arange(int(16000 * PROMPT_SECONDS)) / 16000
+    prompt_16k = (0.5 * np.sin(2 * np.pi * 220 * sr16)).astype(np.float32)
+    sr24 = np.arange(int(24000 * PROMPT_SECONDS)) / 24000
+    prompt_24k = (0.5 * np.sin(2 * np.pi * 220 * sr24)).astype(np.float32)
+
+    prompt_tokens = pipe.extract_prompt_tokens(prompt_16k)
+    prompt_latent = pipe.extract_prompt_latent(prompt_24k)
+    prompt_mel = pipe.extract_prompt_mel(prompt_24k)
+    lm_spk, flow_emb = pipe.speaker_embedding(prompt_mel)
+    lm_spk = lm_spk.astype(jnp.bfloat16)
+
+    text = rng.integers(0, 150000, TEXT_LEN)
+    ptext = rng.integers(0, 150000, 4)
+
+    # deterministic token count: min == max == GEN_TOKENS
+    cfg.min_token_text_ratio = GEN_TOKENS / TEXT_LEN
+    cfg.max_token_text_ratio = GEN_TOKENS / TEXT_LEN
+
+    def run(key):
+        return pipe.synthesize(text, ptext, prompt_tokens, prompt_latent,
+                               lm_spk, flow_emb, key=key,
+                               return_timings=True)
+
+    # warmup (compiles every stage)
+    wav, tim = run(jax.random.PRNGKey(1))
+    results = []
+    for i in range(3):
+        wav, tim = run(jax.random.PRNGKey(2 + i))
+        results.append(tim)
+
+    best = min(results, key=lambda t: t["total_s"])
+    rtf = best["total_s"] / best["audio_s"]
+    print(json.dumps({
+        "metric": "e2e_rtf",
+        "value": round(rtf, 5),
+        "unit": "wall_s_per_audio_s",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "detail": {
+            "audio_s": round(best["audio_s"], 2),
+            "tokens": best["tokens"],
+            "lm_s": round(best["lm_s"], 4),
+            "flow_s": round(best["flow_s"], 4),
+            "vocoder_s": round(best["vocoder_s"], 4),
+            "chip": "v5e",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""Host-side data pipeline: chained generator stages + two-level sharding.
+
+Re-expresses the reference iterable pipeline
+(reference: speech/cosyvoice/dataset/dataset.py:26-151 +
+dataset/processor.py:31-705) for the TPU trainer:
+
+  * same stage chain: open -> tokenize -> filter -> resample ->
+    reference-mel crop -> fbank/latent align -> shuffle -> sort ->
+    batch -> padding
+  * same two-level modulo sharding (epoch-seeded shuffle, then
+    data[process::n_process][worker::n_workers],
+    dataset.py:82-104)
+  * the reference's dynamic frame-budget batching
+    (processor.py:520-546) becomes frame-budget batching + PAD-TO-BUCKET
+    so every batch has a static shape for XLA (SURVEY §7 design stance)
+  * padding additionally emits the stage-1 LM "plan" tensors
+    (models/llm.py:build_lm_plan) so the device never sees ragged
+    per-sample interleave work.
+
+Stages are plain generator transformers: fn(iterable, **cfg) -> iterable
+of sample dicts. File IO is pluggable through the opener.
+"""
+from __future__ import annotations
+
+import io
+import json
+import random
+from pathlib import Path
+from typing import Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.ops import mel as mel_ops
+
+
+# ---------------------------------------------------------------------------
+# source + sharding
+# ---------------------------------------------------------------------------
+
+class DataList:
+    """Epoch-seeded shuffled list with process/worker modulo sharding
+    (reference: dataset/dataset.py:82-122)."""
+
+    def __init__(self, items: list, shuffle: bool = True, partition: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 worker_index: int = 0, worker_count: int = 1):
+        self.items = list(items)
+        self.shuffle = shuffle
+        self.partition = partition
+        self.pi, self.pc = process_index, process_count
+        self.wi, self.wc = worker_index, worker_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self):
+        data = list(self.items)
+        if self.shuffle:
+            random.Random(self.epoch).shuffle(data)
+        if self.partition:
+            data = data[self.pi::self.pc]
+        data = data[self.wi::self.wc]
+        for item in data:
+            yield dict(item) if isinstance(item, dict) else {"src": item}
+
+
+def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2
+                           ) -> Iterator[dict]:
+    """Read {wav, txt, <stem>_fsq.npy/pt, <stem>_latent2x.npy/pt} per item
+    and align token/latent lengths by the ratio
+    (reference: processor.py:31-189; note the reference expects the
+    `_latent2x.pt` suffix even though its README says `_latent.pt`)."""
+    for sample in data:
+        try:
+            stem = Path(sample["src"]).with_suffix("")
+            txt = Path(str(stem) + ".txt")
+            sample["text"] = txt.read_text().strip()
+            tok = _load_array(str(stem) + "_fsq")
+            lat = _load_array(str(stem) + "_latent2x")
+            if lat.ndim == 3:
+                lat = lat[0]
+            if lat.shape[0] < lat.shape[-1]:  # (80, T) -> (T, 80)
+                lat = lat.T
+            n = min(len(tok), lat.shape[0] // token_latent_ratio)
+            sample["speech_token"] = np.asarray(tok[:n], np.int32)
+            sample["speech_latent"] = np.asarray(
+                lat[: n * token_latent_ratio], np.float32)
+            audio, sr = _load_audio(sample["src"])
+            sample["audio"] = audio
+            sample["sample_rate"] = sr
+            yield sample
+        except Exception as e:  # skip-and-log, like the reference
+            print(f"opener skip {sample.get('src')}: {e}")
+
+
+def _load_array(stem: str) -> np.ndarray:
+    for suffix, loader in ((".npy", np.load), (".pt", _load_pt)):
+        p = Path(stem + suffix)
+        if p.exists():
+            return loader(str(p))
+    raise FileNotFoundError(stem + ".{npy,pt}")
+
+
+def _load_pt(path: str):
+    import torch
+    t = torch.load(path, map_location="cpu")
+    if isinstance(t, dict):
+        t = t.get("z", t.get("tokens", next(iter(t.values()))))
+    return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+
+def _load_audio(path: str):
+    import wave
+    with wave.open(path) as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if w.getnchannels() > 1:
+            audio = audio.reshape(-1, w.getnchannels())[:, 0]
+    return audio, sr
+
+
+# ---------------------------------------------------------------------------
+# map stages
+# ---------------------------------------------------------------------------
+
+def tokenize(data, tokenizer) -> Iterator[dict]:
+    """text -> text_token (reference: processor.py:431-445)."""
+    for s in data:
+        s["text_token"] = np.asarray(tokenizer.encode(s["text"]), np.int32)
+        yield s
+
+
+def filter_lengths(data, max_length: int = 40960, min_length: int = 100,
+                   token_max_length: int = 200, token_min_length: int = 1
+                   ) -> Iterator[dict]:
+    """Length gates in 10ms frames / text tokens
+    (reference: processor.py:219-272)."""
+    for s in data:
+        frames = len(s["audio"]) / s["sample_rate"] * 100
+        if not (min_length < frames < max_length):
+            continue
+        if not (token_min_length <= len(s["text_token"]) <= token_max_length):
+            continue
+        if len(s.get("speech_token", ())) == 0:
+            continue
+        yield s
+
+
+def resample(data, target_sr: int = 24000) -> Iterator[dict]:
+    """Polyphase-free linear resample + peak normalization above 1
+    (reference: processor.py:275-301 uses torchaudio; behaviorally
+    equivalent for the pipeline's purposes)."""
+    for s in data:
+        sr = s["sample_rate"]
+        if sr != target_sr:
+            n_out = int(round(len(s["audio"]) * target_sr / sr))
+            x_old = np.linspace(0.0, 1.0, len(s["audio"]), endpoint=False)
+            x_new = np.linspace(0.0, 1.0, n_out, endpoint=False)
+            s["audio"] = np.interp(x_new, x_old, s["audio"]).astype(np.float32)
+            s["sample_rate"] = target_sr
+        peak = np.abs(s["audio"]).max() if len(s["audio"]) else 0.0
+        if peak > 1.0:
+            s["audio"] = s["audio"] / peak * 0.9
+        yield s
+
+
+def truncate(data, truncate_length: int = 24480) -> Iterator[dict]:
+    """Random fixed-length crop (GAN path, reference: processor.py:304-322)."""
+    for s in data:
+        a = s["audio"]
+        if len(a) > truncate_length:
+            start = random.randint(0, len(a) - truncate_length)
+            s["audio"] = a[start: start + truncate_length]
+        else:
+            s["audio"] = np.pad(a, (0, truncate_length - len(a)))
+        yield s
+
+
+def extract_reference_mel(data, sample_rate: int = 24000,
+                          min_length: float = 0.5, max_length: float = 4.0,
+                          num_crops: int = 1) -> Iterator[dict]:
+    """Random speech crops -> 80-bin mels for the speaker encoder
+    (reference: processor.py:325-398)."""
+    for s in data:
+        a = s["audio"]
+        crops = []
+        for _ in range(num_crops):
+            dur = random.uniform(min_length, max_length)
+            n = min(int(dur * sample_rate), len(a))
+            start = random.randint(0, max(len(a) - n, 0))
+            crop = a[start: start + n]
+            m = np.asarray(mel_ops.hifigan_log_mel(crop)).T  # (T, 80)
+            crops.append(m.astype(np.float32))
+        s["reference_mels"] = crops
+        yield s
+
+
+def compute_fbank(data, token_mel_ratio: int = 2) -> Iterator[dict]:
+    """24 kHz mel features clipped to 2x token length
+    (reference: processor.py:401-428)."""
+    for s in data:
+        m = np.asarray(mel_ops.hifigan_log_mel(s["audio"])).T
+        n = min(m.shape[0] // token_mel_ratio, len(s["speech_token"]))
+        s["speech_token"] = s["speech_token"][:n]
+        s["speech_feat"] = m[: n * token_mel_ratio].astype(np.float32)
+        yield s
+
+
+def shuffle(data, shuffle_size: int = 1000) -> Iterator[dict]:
+    buf = []
+    for s in data:
+        buf.append(s)
+        if len(buf) >= shuffle_size:
+            random.shuffle(buf)
+            yield from buf
+            buf = []
+    random.shuffle(buf)
+    yield from buf
+
+
+def sort_by_len(data, sort_size: int = 500,
+                key: str = "speech_latent") -> Iterator[dict]:
+    buf = []
+    for s in data:
+        buf.append(s)
+        if len(buf) >= sort_size:
+            buf.sort(key=lambda x: _len_of(x, key))
+            yield from buf
+            buf = []
+    buf.sort(key=lambda x: _len_of(x, key))
+    yield from buf
+
+
+def _len_of(s, key):
+    v = s.get(key, s.get("speech_feat", s.get("speech_token")))
+    return len(v)
+
+
+def dynamic_batch(data, max_frames_in_batch: int = 25000,
+                  key: str = "speech_latent") -> Iterator[list]:
+    """Frame-budget batching (reference: processor.py:520-546)."""
+    buf, longest = [], 0
+    for s in data:
+        n = _len_of(s, key)
+        if buf and (max(longest, n) * (len(buf) + 1)) > max_frames_in_batch:
+            yield buf
+            buf, longest = [], 0
+        buf.append(s)
+        longest = max(longest, n)
+    if buf:
+        yield buf
+
+
+def static_batch(data, batch_size: int = 16) -> Iterator[list]:
+    buf = []
+    for s in data:
+        buf.append(s)
+        if len(buf) >= batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+# ---------------------------------------------------------------------------
+# padding -> fixed-shape numpy batches
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, multiple: int = 64) -> int:
+    return max(((n + multiple - 1) // multiple) * multiple, multiple)
+
+
+def padding_flow(batches, token_latent_ratio: int = 2,
+                 bucket_multiple: int = 32) -> Iterator[dict]:
+    """Flow-stage batch: tokens, latents, reference mels, all padded to
+    shared buckets (reference padding: processor.py:559-705)."""
+    for batch in batches:
+        b = len(batch)
+        tl = np.array([len(s["speech_token"]) for s in batch], np.int32)
+        tmax = _bucket(int(tl.max()), bucket_multiple)
+        token = np.zeros((b, tmax), np.int32)
+        feat = np.zeros((b, tmax * token_latent_ratio, 80), np.float32)
+        for i, s in enumerate(batch):
+            token[i, : tl[i]] = s["speech_token"]
+            lat = s.get("speech_latent", s.get("speech_feat"))
+            feat[i, : lat.shape[0]] = lat
+        out = {"token": token, "token_len": tl, "feat": feat,
+               "feat_len": tl * token_latent_ratio}
+        if "reference_mels" in batch[0]:
+            rl = np.array([s["reference_mels"][0].shape[0] for s in batch],
+                          np.int32)
+            rmax = _bucket(int(rl.max()), bucket_multiple)
+            ref = np.zeros((b, rmax, 80), np.float32)
+            for i, s in enumerate(batch):
+                ref[i, : rl[i]] = s["reference_mels"][0]
+            out["reference_mel"] = ref
+            out["reference_mel_len"] = rl
+        yield out
+
+
+def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,
+                bucket_multiple: int = 64,
+                bistream_prob: float = 0.5) -> Iterator[dict]:
+    """Stage-1 LM batch: emits the fixed-shape interleave plan
+    (replaces the reference's on-device python interleave,
+    llm.py:433-527)."""
+    for batch in batches:
+        flags = [random.random() < bistream_prob for _ in batch]
+        plan = llm_mod.build_lm_plan(
+            [s["text_token"] for s in batch],
+            [s["speech_token"] for s in batch],
+            mix_ratio=mix_ratio, use_spk=use_spk, bistream_flags=flags)
+        pad_to = _bucket(int(plan["seq_len"].max()), bucket_multiple)
+        plan = llm_mod.build_lm_plan(
+            [s["text_token"] for s in batch],
+            [s["speech_token"] for s in batch],
+            mix_ratio=mix_ratio, use_spk=use_spk, bistream_flags=flags,
+            pad_to=pad_to)
+        out = dict(plan)
+        if "reference_mels" in batch[0]:
+            rl = np.array([s["reference_mels"][0].shape[0] for s in batch],
+                          np.int32)
+            rmax = _bucket(int(rl.max()), 32)
+            ref = np.zeros((len(batch), rmax, 80), np.float32)
+            for i, s in enumerate(batch):
+                ref[i, : rl[i]] = s["reference_mels"][0]
+            out["reference_mel"] = ref
+            out["reference_mel_len"] = rl
+        yield out
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly
+# ---------------------------------------------------------------------------
+
+def build_dataset(source: Iterable[dict], stages: list[Callable]
+                  ) -> Iterator:
+    """Chain stages over the source (reference: Dataset(), dataset.py:125)."""
+    it = iter(source)
+    for stage in stages:
+        it = stage(it)
+    return it

@@ -148,15 +148,22 @@ class FlowModel(nn.Module):
 
 def init_flow_variables(model: FlowModel, key, batch: int = 1,
                         tokens: int = 8):
-    """Initialize ALL flow params (encoder + estimator + speaker affine)
-    by tracing the training path on dummy data."""
+    """Initialize ALL flow params (encoder + estimator + speaker affine +
+    speaker encoder) by tracing training + speaker paths on dummy data."""
     c = model.cfg
+
+    def init_all(m: FlowModel, token, lens, feat, flens, emb, k):
+        loss = m(token, lens, feat, flens, emb, k)
+        if c.use_speaker_encoder:
+            m.embed_speaker(jnp.zeros((batch, 4, c.speaker.mel_dim)))
+        return loss
+
     token = jnp.zeros((batch, tokens), jnp.int32)
     feat = jnp.zeros((batch, tokens * c.token_latent_ratio, c.output_size))
     emb = jnp.zeros((batch, c.spk_embed_dim))
     lens = jnp.full((batch,), tokens, jnp.int32)
     return model.init(key, token, lens, feat, lens * c.token_latent_ratio,
-                      emb, key)
+                      emb, key, method=init_all)
 
 
 def flow_inference(model: FlowModel, variables, token, token_len,

@@ -1,0 +1,89 @@
+"""Data pipeline tests: sharding, stage chain on synthetic samples."""
+import numpy as np
+import pytest
+
+from minimax_speech_tpu.data import pipeline as dp
+from tests.conftest import synthetic_audio
+
+
+class CharTokenizer:
+    def encode(self, text):
+        return [ord(c) % 97 + 1 for c in text][:50]
+
+
+def synthetic_source(rng, n=12):
+    for i in range(n):
+        audio = synthetic_audio(rng, 1.0 + 0.2 * (i % 3), sr=24000)
+        n_tok = len(audio) // 960  # 25 Hz at 24 kHz
+        yield {
+            "src": f"mem://{i}.wav",
+            "audio": audio,
+            "sample_rate": 24000,
+            "text": f"hello world sample {i}",
+            "speech_token": rng.integers(0, 6561, n_tok).astype(np.int32),
+            "speech_latent": rng.standard_normal((n_tok * 2, 80)).astype(np.float32),
+        }
+
+
+def test_datalist_two_level_sharding():
+    items = list(range(20))
+    d0 = dp.DataList(items, process_index=0, process_count=2,
+                     worker_index=0, worker_count=2)
+    d0.set_epoch(3)
+    d1 = dp.DataList(items, process_index=1, process_count=2,
+                     worker_index=1, worker_count=2)
+    d1.set_epoch(3)
+    s0 = [s["src"] for s in d0]
+    s1 = [s["src"] for s in d1]
+    assert len(s0) == 5 and len(s1) == 5
+    assert not set(s0) & set(s1)
+    # same epoch seed -> deterministic
+    d0.set_epoch(3)
+    assert [s["src"] for s in d0] == s0
+
+
+def test_flow_pipeline(rng):
+    stages = [
+        lambda it: dp.tokenize(it, CharTokenizer()),
+        dp.filter_lengths,
+        dp.resample,
+        dp.extract_reference_mel,
+        lambda it: dp.sort_by_len(it, sort_size=4),
+        lambda it: dp.dynamic_batch(it, max_frames_in_batch=400),
+        dp.padding_flow,
+    ]
+    batches = list(dp.build_dataset(synthetic_source(rng), stages))
+    assert batches
+    for b in batches:
+        bs, tmax = b["token"].shape
+        assert b["feat"].shape == (bs, tmax * 2, 80)
+        assert (b["token_len"] <= tmax).all()
+        assert b["reference_mel"].shape[-1] == 80
+        # padded region must be zeros
+        for i in range(bs):
+            assert (b["token"][i, b["token_len"][i]:] == 0).all()
+
+
+def test_llm_pipeline(rng):
+    stages = [
+        lambda it: dp.tokenize(it, CharTokenizer()),
+        dp.filter_lengths,
+        dp.extract_reference_mel,
+        lambda it: dp.static_batch(it, 4),
+        lambda it: dp.padding_llm(it, bistream_prob=0.5),
+    ]
+    batches = list(dp.build_dataset(synthetic_source(rng), stages))
+    assert batches
+    for b in batches:
+        assert b["src_type"].shape == b["tok_id"].shape == b["target"].shape
+        assert b["src_type"].shape[1] % 64 == 0
+        assert (b["seq_len"] <= b["src_type"].shape[1]).all()
+        # each row starts with sos special
+        assert (b["src_type"][:, 0] == 1).all()
+
+
+def test_resample_changes_rate(rng):
+    s = {"audio": synthetic_audio(rng, 0.5, sr=16000), "sample_rate": 16000}
+    out = next(iter(dp.resample(iter([s]))))
+    assert out["sample_rate"] == 24000
+    assert abs(len(out["audio"]) - 12000) <= 1

@@ -1,0 +1,77 @@
+"""End-to-end pipeline smoke test with tiny geometry (CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.infer import pipeline as pl
+from minimax_speech_tpu.models import dac_vae, hifigan
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.models import qwen2
+from minimax_speech_tpu.models import s3tokenizer as s3
+from minimax_speech_tpu.models.cfm import CFMConfig
+from minimax_speech_tpu.models.decoder_unet import DecoderUNetConfig
+from minimax_speech_tpu.models.flow import FlowConfig
+from minimax_speech_tpu.models.speaker_encoder import SpeakerEncoderConfig
+from minimax_speech_tpu.models.upsample_encoder import UpsampleEncoderConfig
+from tests.conftest import synthetic_audio
+
+
+def tiny_cfg():
+    spk = SpeakerEncoderConfig(mel_dim=80, model_dim=16, output_dim=12,
+                               num_blocks=1, num_heads=2)
+    return pl.TTSConfig(
+        lm=llm_mod.LMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=6561,
+            qwen=qwen2.Qwen2Config(vocab_size=256, hidden_size=32, n_layers=2,
+                                   n_heads=4, n_kv_heads=2, head_dim=8,
+                                   intermediate_size=64),
+            speaker=spk, spk_embed_dim=12),
+        flow=FlowConfig(
+            input_size=32, output_size=80, vocab_size=6561, spk_embed_dim=12,
+            encoder=UpsampleEncoderConfig(input_size=32, output_size=32,
+                                          attention_heads=4, linear_units=64,
+                                          num_blocks=1, num_up_blocks=1),
+            unet=DecoderUNetConfig(in_channels=320, out_channels=80,
+                                   channels=(32,), attention_head_dim=8,
+                                   n_blocks=1, num_mid_blocks=1, num_heads=2),
+            speaker=spk, n_timesteps=2),
+        dac=dac_vae.DACVAEConfig(encoder_dim=4, encoder_rates=(2, 3, 4, 4, 5),
+                                 latent_dim=80, decoder_dim=32,
+                                 decoder_rates=(5, 4, 4, 3, 2)),
+        s3=s3.S3TokenizerConfig(n_mels=128, n_state=32, n_head=4, n_layer=1,
+                                fsmn_kernel=7),
+        max_speech_tokens=32,
+    )
+
+
+@pytest.mark.slow
+def test_e2e_synthesis(rng):
+    cfg = tiny_cfg()
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+
+    prompt_16k = synthetic_audio(rng, 0.6, sr=16000)
+    prompt_24k = synthetic_audio(rng, 0.6, sr=24000)
+
+    prompt_tokens = pipe.extract_prompt_tokens(prompt_16k)
+    assert prompt_tokens.ndim == 1 and len(prompt_tokens) > 0
+    assert prompt_tokens.max() < 6561
+
+    prompt_mel = pipe.extract_prompt_mel(prompt_24k)
+    prompt_latent = pipe.extract_prompt_latent(prompt_24k)
+    assert prompt_mel.shape[1] == 80 and prompt_latent.shape[1] == 80
+
+    lm_spk, flow_emb = pipe.speaker_embedding(prompt_mel)
+    assert lm_spk.shape == (1, 32) and flow_emb.shape == (1, 12)
+
+    text = rng.integers(0, 256, 5)
+    ptext = rng.integers(0, 256, 3)
+    wav, tim = pipe.synthesize(text, ptext, prompt_tokens, prompt_latent,
+                               lm_spk, flow_emb, key=jax.random.PRNGKey(7),
+                               return_timings=True)
+    assert wav.ndim == 1
+    assert tim["tokens"] >= 1
+    # latent mode: 2 frames per token, 480 samples per frame
+    assert len(wav) == tim["tokens"] * 2 * 480
+    assert np.isfinite(wav).all()
