@@ -1,0 +1,152 @@
+"""Training CLI: `python -m minimax_speech_tpu.cli.train --model {llm,flow}`.
+
+Replaces the reference harness (reference: speech/train.py:41-321):
+config + overrides, dataset pipeline, mesh + sharded train state,
+epoch loop with periodic checkpointing, resume. Multi-host launch uses
+jax.distributed.initialize() (the torchrun/NCCL equivalent); data
+sharding by process replicates the rank::world split.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["llm", "flow"], required=True)
+    p.add_argument("--config", type=str, default="configs/default.yaml")
+    p.add_argument("--override", action="append", default=[],
+                   help="dotted config overrides, e.g. train.lr=1e-5")
+    p.add_argument("--train_data", type=str, required=True,
+                   help="file with one wav path per line")
+    p.add_argument("--cv_data", type=str, default=None)
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help=".npz params to start from (e.g. converted ref ckpt)")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--distributed", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_stages(cfg_train, tokenizer, model_kind: str):
+    from minimax_speech_tpu.data import pipeline as dp
+    stages = [
+        lambda it: dp.individual_file_opener(it),
+        lambda it: dp.tokenize(it, tokenizer),
+        dp.filter_lengths,
+        dp.resample,
+        dp.extract_reference_mel,
+        lambda it: dp.shuffle(it, 1000),
+        lambda it: dp.sort_by_len(it, 500),
+        lambda it: dp.dynamic_batch(
+            it, cfg_train.get("max_frames_in_batch", 25000)),
+    ]
+    if model_kind == "llm":
+        stages.append(lambda it: dp.padding_llm(it))
+    else:
+        stages.append(lambda it: dp.padding_flow(it))
+    return stages
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu import config as cfg_lib
+    from minimax_speech_tpu.data import pipeline as dp
+    from minimax_speech_tpu.infer.frontend import get_tokenizer
+    from minimax_speech_tpu.models import llm as llm_mod
+    from minimax_speech_tpu.models.flow import FlowModel, init_flow_variables
+    from minimax_speech_tpu.parallel import mesh as mesh_lib
+    from minimax_speech_tpu.train import schedule, steps
+    from minimax_speech_tpu.train.checkpoint import CheckpointManager
+    from minimax_speech_tpu.train.executor import Executor
+    from minimax_speech_tpu.utils.logging import MetricsLogger
+    from minimax_speech_tpu.utils.params_io import load_params
+
+    data = cfg_lib.apply_overrides(cfg_lib.load_yaml(args.config),
+                                   args.override)
+    tts_cfg = cfg_lib.build_tts_config(data.get("model", {}))
+    tcfg = data.get("train", {})
+
+    mesh = mesh_lib.make_mesh(tp=args.tp)
+    tokenizer = get_tokenizer(args.tokenizer_path)
+
+    key = jax.random.PRNGKey(1986)
+    if args.model == "llm":
+        model = llm_mod.SpeechLM(tts_cfg.lm)
+        variables = (load_params(args.init_ckpt) if args.init_ckpt
+                     else jax.jit(llm_mod.init_lm_variables,
+                                  static_argnums=0)(model, key))
+        step_fn = steps.make_lm_train_step(model)
+        needs_key = False
+    else:
+        model = FlowModel(tts_cfg.flow)
+        variables = (load_params(args.init_ckpt) if args.init_ckpt
+                     else jax.jit(init_flow_variables,
+                                  static_argnums=0)(model, key))
+        step_fn = steps.make_flow_train_step(model)
+        needs_key = True
+
+    tx = schedule.make_optimizer(
+        lr=tcfg.get("lr", 5e-5), warmup_steps=tcfg.get("warmup_steps", 500),
+        scheduler=tcfg.get("scheduler", "constantlr"),
+        grad_clip=tcfg.get("grad_clip", 1.0),
+        accum_steps=tcfg.get("accum_grad", 1))
+    state = steps.make_train_state(variables["params"], tx, mesh,
+                                   kind=args.model)
+
+    logger = MetricsLogger(args.model_dir, name=args.model,
+                           log_interval=tcfg.get("log_interval", 5))
+    ckpt = CheckpointManager(str(Path(args.model_dir) / "ckpt"))
+    state, start_step = ckpt.restore(state)
+    if start_step:
+        print(f"resumed from step {start_step}")
+
+    # the speaker encoder runs INSIDE the train step (jointly trained for
+    # the LM, frozen for flow — see train/steps.py), so batches pass the
+    # reference mels straight through
+    if args.model == "llm":
+        allowed_keys = {"src_type", "tok_id", "target", "seq_len",
+                        "reference_mel", "reference_mel_len"}
+    else:
+        allowed_keys = {"token", "token_len", "feat", "feat_len",
+                        "reference_mel", "reference_mel_len"}
+
+    def put(batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in allowed_keys}
+        return jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+
+    ex = Executor(steps.jit_step(step_fn), state, logger, ckpt,
+                  save_per_step=tcfg.get("save_per_step", 2000),
+                  needs_key=needs_key, put_batch=put)
+
+    items = [{"src": line.strip()} for line in
+             Path(args.train_data).read_text().splitlines() if line.strip()]
+    source = dp.DataList(items, process_index=jax.process_index(),
+                         process_count=jax.process_count())
+    stages = build_stages(tcfg, tokenizer, args.model)
+
+    max_epoch = args.max_epoch or tcfg.get("max_epoch", 2000)
+    for epoch in range(max_epoch):
+        source.set_epoch(epoch)
+        batches = dp.build_dataset(source, stages)
+        ex.train_one_epoch(batches)
+        logger.log(ex.step, {"epoch": epoch}, force=True)
+    ckpt.save(ex.step, ex.state)
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

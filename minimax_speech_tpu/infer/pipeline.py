@@ -81,6 +81,12 @@ class TTSPipeline:
         self._flow_infer = jax.jit(
             lambda v, tok, tl, pf, emb, noise: flow_inference(
                 self.flow, v, tok, tl, pf, emb, noise))
+        # streaming variant: chunk masks on, lookahead tokens held back as
+        # encoder context (flow.py prepare_inference finalize=False path)
+        self._flow_infer_stream = jax.jit(
+            lambda v, tok, tl, pf, emb, noise: flow_inference(
+                self.flow, v, tok, tl, pf, emb, noise,
+                streaming=True, finalize=False))
         if cfg.output_type == "latent":
             self._decode = jax.jit(partial(self.dac.apply,
                                            method=dac_vae.DACVAE.decode))

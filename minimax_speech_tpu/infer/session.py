@@ -1,0 +1,210 @@
+"""Streaming TTS session: 25-token hop, 3-token lookahead, chunk fades.
+
+Replaces the reference session manager (reference:
+speech/cosyvoice/cli/model.py:103-386): an LLM token producer feeds a
+flow+vocoder consumer that emits audio every `token_hop` tokens, using
+the flow encoder's pre-lookahead context for non-final chunks and
+crossfading chunk boundaries. The reference runs the producer in a
+thread with a 0.1 s poll (model.py:332-340); here the producer is an
+incremental jitted decode the consumer pulls from directly — same
+timing contract, no polling.
+
+The incremental decoder reuses SpeechLM.prefill/decode_step: one jitted
+prefill + one jitted single-token step (static shapes, preallocated KV
+cache) called from a host loop so tokens are available as they decode.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.models import qwen2
+from minimax_speech_tpu.models.flow import FlowModel, flow_inference
+from minimax_speech_tpu.ops import sampling as sampling_ops
+
+
+def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray,
+                window: np.ndarray) -> np.ndarray:
+    """Crossfade the head of fade_in with the tail of fade_out
+    (reference: utils/common.py:142-150)."""
+    n = len(window) // 2
+    out = fade_in.copy()
+    out[..., :n] = (fade_in[..., :n] * window[:n]
+                    + fade_out[..., -n:] * window[n:])
+    return out
+
+
+class TokenStream:
+    """Incremental LLM decode yielding tokens one at a time."""
+
+    def __init__(self, model: llm_mod.SpeechLM, variables, max_steps: int = 512):
+        self.model = model
+        self.variables = variables
+        self.max_steps = max_steps
+        cfg = model.cfg
+        self._prefill = jax.jit(partial(model.apply,
+                                        method=llm_mod.SpeechLM.prefill))
+        self._step = jax.jit(partial(model.apply,
+                                     method=llm_mod.SpeechLM.decode_step))
+        self._embed_plan = jax.jit(partial(model.apply,
+                                           method=llm_mod.SpeechLM.embed_plan))
+        self._embed_tok = jax.jit(partial(
+            model.apply, method=llm_mod.SpeechLM.embed_speech_token))
+        self._decoder = jax.jit(
+            lambda v, h: model.apply(v, h, method=lambda m, x: m.llm_decoder(x)))
+
+    def generate(self, src_type, tok_id, prompt_len, spk_emb, key,
+                 min_len: int, max_len: int) -> Iterator[int]:
+        cfg = self.model.cfg
+        eos = cfg.eos_token
+        b, p = src_type.shape
+        emb = self._embed_plan(self.variables, jnp.asarray(src_type),
+                               jnp.asarray(tok_id), spk_emb)
+        cache = qwen2.make_cache(cfg.qwen, b, p + self.max_steps, emb.dtype)
+        pad = jnp.arange(p)[None] < jnp.asarray(prompt_len)[:, None]
+        positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
+        hidden, cache = self._prefill(self.variables, emb, pad, positions,
+                                      cache)
+        logits = self._decoder(self.variables,
+                               hidden[:, int(prompt_len[0]) - 1])
+        valid = jnp.concatenate([pad, jnp.zeros((b, self.max_steps), bool)], 1)
+        recent = jnp.full((cfg.ras_win,), -1, jnp.int32)
+
+        for i in range(self.max_steps):
+            key, k1 = jax.random.split(key)
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            ids = jnp.arange(logp.shape[-1])
+            logp = jnp.where(ids > eos, -jnp.inf, logp)
+            if i < min_len:
+                logp = jnp.where(ids == eos, -jnp.inf, logp)
+            tok = int(sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
+                                              cfg.top_k, cfg.ras_win,
+                                              cfg.ras_tau))
+            if tok == eos or i >= max_len:
+                return
+            yield tok
+            recent = sampling_ops.push_recent(recent, jnp.int32(tok))
+            emb1 = self._embed_tok(self.variables,
+                                   jnp.full((b, 1), tok, jnp.int32))
+            pos = jnp.asarray(prompt_len) + i
+            logits, cache, valid = self._step(self.variables, emb1, pos,
+                                              valid, cache, p + i)
+
+
+@dataclass
+class StreamChunk:
+    audio: np.ndarray
+    tokens: int
+    final: bool
+
+
+class StreamingSession:
+    """Produce audio chunks every token_hop tokens
+    (reference: cli/model.py:321-386 with chunk_size 25, lookahead 3,
+    config.yaml:19,69)."""
+
+    def __init__(self, pipeline, token_hop: int = 25, lookahead: int = 3,
+                 overlap_frames: int = 8):
+        self.p = pipeline
+        self.token_hop = token_hop
+        self.lookahead = lookahead
+        self.overlap_frames = overlap_frames
+        ratio = self.p.cfg.token_latent_ratio
+        sr_per_frame = 480
+        self.overlap_samples = overlap_frames * sr_per_frame
+        self.window = np.hamming(2 * self.overlap_samples)
+        self.stream = TokenStream(self.p.lm, self.p.lm_vars,
+                                  max_steps=self.p.cfg.max_speech_tokens)
+
+    def synthesize_stream(self, text_tokens, prompt_text_tokens,
+                          prompt_speech_tokens, prompt_feat, lm_spk,
+                          flow_emb, key=None) -> Iterator[StreamChunk]:
+        cfg = self.p.cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        full_text = np.concatenate([prompt_text_tokens, text_tokens])
+        src, tok, plen = llm_mod.build_inference_plan(
+            full_text, prompt_speech_tokens,
+            use_spk=cfg.lm.use_speaker_encoder)
+        n_text = len(text_tokens)
+        min_len = int(n_text * cfg.min_token_text_ratio)
+        max_len = min(int(n_text * cfg.max_token_text_ratio),
+                      cfg.max_speech_tokens)
+
+        tokens: list[int] = []
+        emitted_frames = 0            # latent frames already turned into audio
+        prev_tail: Optional[np.ndarray] = None  # held-back overlap audio
+        pending = 0                   # tokens since the last boundary
+        gen = self.stream.generate(src, tok, plen, lm_spk, key,
+                                   min_len, max_len)
+        done = False
+        while not done:
+            tok_i = next(gen, None)
+            if tok_i is None:
+                done = True
+            else:
+                tokens.append(tok_i)
+                pending += 1
+            boundary = pending >= self.token_hop + self.lookahead
+            if not (boundary or (done and tokens)):
+                continue
+            if done and not tokens:
+                break
+            finalize = done
+            feat = self._flow_chunk(np.asarray(tokens, np.int32),
+                                    prompt_speech_tokens, prompt_feat,
+                                    flow_emb, finalize)
+            chunk = feat[emitted_frames:]
+            if chunk.shape[0] == 0:
+                if finalize:
+                    break
+                pending -= self.token_hop
+                continue
+            wav = np.asarray(self.p._decode(
+                self.p.codec_vars, jnp.asarray(chunk[None]))).reshape(-1)
+            if prev_tail is not None and len(wav) >= self.overlap_samples:
+                wav = fade_in_out(wav, prev_tail, self.window)
+            if not finalize:
+                prev_tail = wav[-self.overlap_samples:]
+                emit = wav[: len(wav) - self.overlap_samples]
+                emitted_frames = feat.shape[0] - self.overlap_frames
+                pending -= self.token_hop
+            else:
+                emit = wav
+            yield StreamChunk(audio=emit, tokens=len(tokens), final=finalize)
+            if finalize:
+                break
+
+    def _flow_chunk(self, gen_tokens, prompt_tokens, prompt_feat, flow_emb,
+                    finalize: bool) -> np.ndarray:
+        """Run the flow on prompt+generated tokens; non-final chunks hold
+        back the lookahead tokens as encoder context
+        (reference: flow.py:469-489)."""
+        cfg = self.p.cfg
+        all_tokens = np.concatenate([prompt_tokens, gen_tokens])
+        tl = len(all_tokens)
+        if finalize:
+            from minimax_speech_tpu.infer.pipeline import next_bucket
+            pad = next_bucket(tl)
+        else:
+            # exact length: the finalize=False path slices the REAL last
+            # `lookahead` tokens as encoder context, which bucket padding
+            # would corrupt. Chunk lengths step by token_hop, so the set of
+            # compiled shapes is small and cached.
+            pad = tl
+        buf = np.zeros((1, pad), np.int32)
+        buf[0, :tl] = all_tokens
+        infer = self.p._flow_infer if finalize else self.p._flow_infer_stream
+        feat = infer(
+            self.p.flow_vars, jnp.asarray(buf), jnp.array([tl]),
+            jnp.asarray(prompt_feat)[None].astype(jnp.float32),
+            flow_emb, self.p.noise)
+        body = tl - (0 if finalize else self.lookahead)
+        n_valid = body * cfg.token_latent_ratio - prompt_feat.shape[0]
+        return np.asarray(feat)[0, :max(n_valid, 0)]

@@ -43,6 +43,7 @@ class FlowConfig:
     token_latent_ratio: int = 2
     pre_lookahead_len: int = 3
     use_speaker_encoder: bool = True
+    freeze_speaker_encoder: bool = True
     n_timesteps: int = 10
     encoder: UpsampleEncoderConfig = field(default_factory=UpsampleEncoderConfig)
     unet: DecoderUNetConfig = field(default_factory=DecoderUNetConfig)

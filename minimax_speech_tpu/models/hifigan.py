@@ -137,11 +137,13 @@ class HiFTGenerator(nn.Module):
                 down_rates, c.source_resblock_kernel_sizes,
                 c.source_resblock_dilations)):
             ch = c.base_channels // (2 ** (i + 1))
+            # plain (non-weight-norm) convs, like the reference's
+            # source_downs (generator.py:475-487)
             if u == 1:
-                downs.append(WNConv(ch, 1))
+                downs.append(nn.Conv(ch, (1,)))
             else:
-                downs.append(WNConv(ch, int(u) * 2, stride=int(u),
-                                    padding=int(u) // 2))
+                downs.append(nn.Conv(ch, (int(u) * 2,), strides=(int(u),),
+                                     padding=[(int(u) // 2, int(u) // 2)]))
             src_res.append(ResBlock(ch, k, tuple(d)))
         self.source_downs = downs
         self.source_resblocks = src_res

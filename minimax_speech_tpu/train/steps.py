@@ -77,9 +77,22 @@ def make_lm_train_step(model, norm_groups=None):
                              "speech_emb": "speech_embedding"}
 
     def loss_fn(params, batch):
-        loss, acc = model.apply({"params": params}, batch["src_type"],
+        variables = {"params": params}
+        if "reference_mel" in batch:
+            # speaker encoder trains jointly with the LM (the reference
+            # computes conditioning inside forward, llm.py:544-548)
+            mask = None
+            if "reference_mel_len" in batch:
+                t = batch["reference_mel"].shape[1]
+                mask = (jnp.arange(t)[None]
+                        < batch["reference_mel_len"][:, None])
+            spk = model.apply(variables, batch["reference_mel"], mask,
+                              method=type(model).embed_speaker)
+        else:
+            spk = batch["spk_emb"]
+        loss, acc = model.apply(variables, batch["src_type"],
                                 batch["tok_id"], batch["target"],
-                                batch["seq_len"], batch["spk_emb"])
+                                batch["seq_len"], spk)
         return loss, acc
 
     def step(state: TrainState, batch):
@@ -100,9 +113,24 @@ def make_flow_train_step(model, norm_groups=None):
     groups = norm_groups or {"encoder": "encoder", "estimator": "estimator"}
 
     def loss_fn(params, batch, key):
-        loss = model.apply({"params": params}, batch["token"],
+        variables = {"params": params}
+        if "reference_mel" in batch:
+            mask = None
+            if "reference_mel_len" in batch:
+                t = batch["reference_mel"].shape[1]
+                mask = (jnp.arange(t)[None]
+                        < batch["reference_mel_len"][:, None])
+            emb = model.apply(variables, batch["reference_mel"], mask,
+                              method=type(model).embed_speaker)
+            if getattr(model.cfg, "freeze_speaker_encoder", True):
+                # flow keeps the (LLM-trained) speaker encoder frozen
+                # (reference: flow.py:315-321, config freeze_speaker_encoder)
+                emb = jax.lax.stop_gradient(emb)
+        else:
+            emb = batch["embedding"]
+        loss = model.apply(variables, batch["token"],
                            batch["token_len"], batch["feat"],
-                           batch["feat_len"], batch["embedding"], key)
+                           batch["feat_len"], emb, key)
         return loss
 
     def step(state: TrainState, batch, key):

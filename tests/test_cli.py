@@ -1,0 +1,82 @@
+"""CLI surface tests: config loading, synthesize/extract on temp wavs."""
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_audio
+
+
+def write_wav(path, audio, sr):
+    pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def test_config_load_and_overrides():
+    from minimax_speech_tpu import config as cfg_lib
+    cfg = cfg_lib.load_tts_config("configs/default.yaml",
+                                  ["model.lm.qwen.n_layers=3",
+                                   "model.flow.n_timesteps=4"])
+    assert cfg.lm.qwen.n_layers == 3
+    assert cfg.flow.n_timesteps == 4
+    assert cfg.lm.qwen.hidden_size == 896  # untouched default
+
+    tiny = cfg_lib.load_tts_config("configs/tiny.yaml")
+    assert tiny.lm.qwen.hidden_size == 32          # child override
+    assert tiny.flow.unet.channels == (32,)
+    assert tiny.dac.encoder_rates == (2, 3, 4, 4, 5)  # inherited from base
+
+
+def test_unknown_config_key_rejected(tmp_path):
+    from minimax_speech_tpu import config as cfg_lib
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("model:\n  lm:\n    not_a_key: 1\n")
+    with pytest.raises(KeyError):
+        cfg_lib.load_tts_config(bad)
+
+
+@pytest.mark.slow
+def test_synthesize_cli(tmp_path, rng):
+    from minimax_speech_tpu.cli import synthesize
+    prompt = tmp_path / "prompt.wav"
+    write_wav(prompt, synthetic_audio(rng, 0.5, 24000), 24000)
+    out = tmp_path / "out.wav"
+    synthesize.main([
+        "--text", "hello world, this is a test with 3 numbers",
+        "--prompt_text", "reference",
+        "--prompt_wav", str(prompt), "--out", str(out),
+        "--config", "configs/tiny.yaml", "--random_init"])
+    assert out.exists()
+    with wave.open(str(out)) as w:
+        assert w.getframerate() == 24000
+        assert w.getnframes() > 0
+
+
+@pytest.mark.slow
+def test_extract_clis(tmp_path, rng):
+    from minimax_speech_tpu.cli import extract_dac_latents, extract_fsq
+    for i in range(2):
+        write_wav(tmp_path / f"a{i}.wav", synthetic_audio(rng, 0.4, 16000),
+                  16000)
+        write_wav(tmp_path / f"b{i}.wav", synthetic_audio(rng, 0.4, 24000),
+                  24000)
+    extract_fsq.main(["--dir", str(tmp_path), "--random_init",
+                      "--config" if False else "--batch_size", "2"])
+    fsq_files = list(tmp_path.glob("*_fsq.npy"))
+    assert len(fsq_files) == 4
+    toks = np.load(fsq_files[0])
+    assert toks.dtype == np.int32 and toks.min() >= 0 and toks.max() < 6561
+
+    # dac extraction only accepts 24 kHz files
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(str(tmp_path / f"b{i}.wav") for i in range(2)))
+    extract_dac_latents.main(["--file_list", str(lst), "--random_init",
+                              "--verify_fraction", "1.0"])
+    lat = np.load(tmp_path / "b0_latent2x.npz")
+    assert lat["mu"].shape[1] == 80

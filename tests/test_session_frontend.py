@@ -1,0 +1,73 @@
+"""Streaming session + frontend tests (tiny geometry, CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.infer import frontend as fe
+from minimax_speech_tpu.infer import pipeline as pl
+from minimax_speech_tpu.infer.session import StreamingSession, fade_in_out
+from tests.conftest import synthetic_audio
+from tests.test_pipeline import tiny_cfg
+
+
+def test_normalize_numbers():
+    out = fe.normalize_text("I have 21 cats and 1005 dogs")
+    assert "twenty one" in out and "one thousand five" in out
+    assert not any(ch.isdigit() for ch in out)
+
+
+def test_split_paragraph():
+    tok = fe.ByteTokenizer()
+    text = ". ".join(f"sentence number {i} is here" for i in range(12)) + "."
+    chunks = fe.split_paragraph(text, tok.encode, token_max_n=80)
+    assert len(chunks) > 1
+    rejoined = " ".join(chunks)
+    assert "sentence number eleven" in rejoined or "11" in rejoined
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = fe.ByteTokenizer()
+    ids = tok.encode("héllo wörld")
+    assert min(ids) >= 1
+    assert tok.decode(ids) == "héllo wörld"
+
+
+def test_fade_in_out():
+    win = np.hamming(8)
+    a = np.ones(16)
+    b = np.zeros(16)
+    out = fade_in_out(a, b, win)
+    np.testing.assert_allclose(out[:4], win[:4])
+    np.testing.assert_array_equal(out[4:], 1.0)
+
+
+@pytest.mark.slow
+def test_streaming_session(rng):
+    cfg = tiny_cfg()
+    cfg.max_speech_tokens = 40
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+    prompt_16k = synthetic_audio(rng, 0.5, sr=16000)
+    prompt_24k = synthetic_audio(rng, 0.5, sr=24000)
+    prompt_tokens = pipe.extract_prompt_tokens(prompt_16k)
+    prompt_latent = pipe.extract_prompt_latent(prompt_24k)
+    prompt_mel = pipe.extract_prompt_mel(prompt_24k)
+    lm_spk, flow_emb = pipe.speaker_embedding(prompt_mel)
+
+    sess = StreamingSession(pipe, token_hop=8, lookahead=3, overlap_frames=2)
+    text = rng.integers(0, 256, 6)
+    ptext = rng.integers(0, 256, 2)
+    chunks = list(sess.synthesize_stream(text, ptext, prompt_tokens,
+                                         prompt_latent, lm_spk, flow_emb,
+                                         key=jax.random.PRNGKey(3)))
+    assert chunks, "no chunks emitted"
+    assert chunks[-1].final
+    assert all(not c.final for c in chunks[:-1])
+    total = np.concatenate([c.audio for c in chunks])
+    assert np.isfinite(total).all()
+    # emitted frames = (prompt_tokens + gen_tokens)*2 - prompt_latent_frames
+    # (the prompt's latent length need not be exactly 2x its token count)
+    expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
+                     - prompt_latent.shape[0])
+    assert len(total) == expect_frames * 480
