@@ -1,0 +1,229 @@
+"""GAN discriminators for DAC-VAE and HiFT training.
+
+Covers both discriminator families in the reference:
+  * DAC combined discriminator: MPD (periods 2,3,5,7,11) + complex
+    multi-band MRD (fft 2048/1024/512) [+ optional MSD]
+    (reference: dac-vae/model.py:525-716)
+  * CosyVoice GAN wrapper: matcha MPD + magnitude MultiResSpec
+    discriminator (reference: speech/cosyvoice/hifigan/
+    discriminator.py:15-230, matcha/hifigan/models.py:247)
+
+All discriminators return (score, feature_maps) per sub-discriminator;
+the wrappers return lists over sub-discriminators, feeding the GAN
+losses in utils/losses.py. TPU-first: time-major layouts, convs are
+feature-last (NHWC for 2D), the STFT frontends reuse ops/mel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.ops import mel as mel_ops
+
+BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
+LRELU = 0.1
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized Conv2d (per-output-channel norm, torch dim=0)."""
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        in_ch = x.shape[-1]
+        fan_in = kh * kw * in_ch
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        v = self.param("v", init, (kh, kw, in_ch, self.features))
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True)
+                        + 1e-12)
+        kernel = (g / norm) * v
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.strides,
+            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b
+
+
+class MPD(nn.Module):
+    """Multi-period discriminator: fold audio by `period` into 2D and run
+    (5,1)-kernel stride-(3,1) conv stack (reference: dac model.py:525-559)."""
+    period: int
+    channels: Sequence[int] = (32, 128, 512, 1024, 1024)
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T) -> pad to period multiple -> (B, L, period, 1)
+        b, t = x.shape
+        pad = (-t) % self.period
+        if pad:
+            x = jnp.concatenate([x, x[:, t - pad:][:, ::-1]], axis=1)
+        h = x.reshape(b, -1, self.period, 1)
+        fmap = []
+        strides = [(3, 1)] * 4 + [(1, 1)]
+        for ch, s in zip(self.channels, strides):
+            h = WNConv2d(ch, (5, 1), s, (2, 0))(h)
+            h = nn.leaky_relu(h, negative_slope=LRELU)
+            fmap.append(h)
+        h = WNConv2d(1, (3, 1), (1, 1), (1, 0))(h)
+        fmap.append(h)
+        return h, fmap
+
+
+class MRDBand(nn.Module):
+    """Complex multi-band spectral discriminator at one FFT size
+    (reference: dac model.py:607-670)."""
+    window_length: int
+    hop_factor: float = 0.25
+    bands: Tuple[Tuple[float, float], ...] = BANDS
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        # complex STFT -> (B, T, F, 2)
+        n_fft = self.window_length
+        hop = int(n_fft * self.hop_factor)
+        p = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+        frames = mel_ops.frame_signal(xp, n_fft, hop)
+        win = mel_ops.hann_window(n_fft, x.dtype)
+        spec = jnp.fft.rfft(frames * win, axis=-1)
+        z = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        nf = n_fft // 2 + 1
+        bands = [(int(b0 * nf), int(b1 * nf)) for b0, b1 in self.bands]
+
+        fmap, outs = [], []
+        for bi, (lo, hi) in enumerate(bands):
+            h = z[:, :, lo:hi, :]  # (B, T, Fb, 2)
+            for li, (k, s) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
+                                         ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+                                         ((3, 3), (1, 1))]):
+                h = WNConv2d(self.channels, k, s,
+                             ((k[0] - 1) // 2, (k[1] - 1) // 2),
+                             name=f"band{bi}_conv{li}")(h)
+                h = nn.leaky_relu(h, negative_slope=LRELU)
+                fmap.append(h)
+            outs.append(h)
+        h = jnp.concatenate(outs, axis=2)
+        h = WNConv2d(1, (3, 3), (1, 1), (1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h, fmap
+
+
+class MSD(nn.Module):
+    """Multi-scale (waveform) discriminator at one rate
+    (reference: dac model.py:563-594); grouped 1-D convs."""
+    rate: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = x[..., None]
+        if self.rate > 1:
+            h = nn.avg_pool(h, (self.rate * 2,), (self.rate,),
+                            padding=[(self.rate, self.rate)])
+        specs = [(16, 15, 1, 1, 7), (64, 41, 4, 4, 20), (256, 41, 4, 16, 20),
+                 (1024, 41, 4, 64, 20), (1024, 41, 4, 256, 20),
+                 (1024, 5, 1, 1, 2)]
+        fmap = []
+        for ch, k, s, groups, pad in specs:
+            h = nn.Conv(ch, (k,), strides=(s,), padding=[(pad, pad)],
+                        feature_group_count=min(groups, h.shape[-1]))(h)
+            h = nn.leaky_relu(h, negative_slope=LRELU)
+            fmap.append(h)
+        h = nn.Conv(1, (3,), padding=[(1, 1)])(h)
+        fmap.append(h)
+        return h, fmap
+
+
+class SpecDiscriminator(nn.Module):
+    """Magnitude-STFT discriminator (reference:
+    speech/cosyvoice/hifigan/discriminator.py:196-230)."""
+    fft_size: int = 1024
+    shift_size: int = 120
+    win_length: int = 600
+
+    @nn.compact
+    def __call__(self, x):
+        mag = mel_ops.stft_magnitude(x, self.fft_size, self.shift_size,
+                                     self.win_length, center=True, power=1.0,
+                                     eps=1e-12)
+        h = mag[..., None]  # (B, T, F, 1)
+        fmap = []
+        for k, s in [((3, 9), (1, 1)), ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+                     ((3, 9), (1, 2)), ((3, 3), (1, 1))]:
+            h = WNConv2d(32, k, s, ((k[0] - 1) // 2, (k[1] - 1) // 2))(h)
+            h = nn.leaky_relu(h, negative_slope=LRELU)
+            fmap.append(h)
+        h = WNConv2d(1, (3, 3), (1, 1), (1, 1))(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+def _preprocess(x):
+    """DC removal + peak norm (reference: dac model.py:703-708)."""
+    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    return 0.8 * x / (jnp.max(jnp.abs(x), axis=-1, keepdims=True) + 1e-9)
+
+
+class DACDiscriminator(nn.Module):
+    """MPD x periods + MRD x fft sizes (+ MSD x rates)
+    (reference: dac model.py:673-716, configx2 periods/ffts)."""
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
+    rates: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x):
+        x = _preprocess(x)
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = MPD(p, name=f"mpd_{p}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        for r in self.rates:
+            s, f = MSD(r, name=f"msd_{r}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        for w in self.fft_sizes:
+            s, f = MRDBand(w, name=f"mrd_{w}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+class CosyVoiceDiscriminator(nn.Module):
+    """MPD (hifigan periods) + MultiResSpec (reference:
+    hifigan/discriminator.py:15-36 + MultiResSpecDiscriminator)."""
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    fft_sizes: Tuple[int, ...] = (1024, 2048, 512)
+    hop_sizes: Tuple[int, ...] = (120, 240, 50)
+    win_lengths: Tuple[int, ...] = (600, 1200, 240)
+
+    @nn.compact
+    def __call__(self, x):
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = MPD(p, channels=(32, 128, 512, 1024, 1024),
+                       name=f"mpd_{p}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        for fft, hop, win in zip(self.fft_sizes, self.hop_sizes,
+                                 self.win_lengths):
+            s, f = SpecDiscriminator(fft, hop, win, name=f"spec_{fft}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps

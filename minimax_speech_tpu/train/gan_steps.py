@@ -1,0 +1,191 @@
+"""GAN training steps: DAC-VAE codec and HiFT vocoder.
+
+DAC trainer equivalent (reference: dac-vae/train.py:576-793): dual
+optimizers; generator loss = lambda-weighted sum of multi-res mel,
+multi-scale STFT, waveform L1, beta-annealed KL, adversarial + feature
+matching; discriminator LSGAN loss; per-submodule grad norms.
+
+HiFT GAN equivalent (reference: speech/cosyvoice/hifigan/hifigan.py:9-67):
+generator loss = adv + feature-match + mel L1 + TPR; discriminator =
+LSGAN + TPR.
+
+Both are two jitted steps (gen, disc) sharing the batch; the reference's
+alternating update order (disc first, then gen; dac train.py:675-773)
+is preserved by the caller.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from minimax_speech_tpu.train.steps import TrainState
+from minimax_speech_tpu.utils import audio_losses, losses
+
+
+@dataclass(frozen=True)
+class DACLambdas:
+    """Loss weights (reference: dac-vae/configs/configx2.yml lambdas)."""
+    mel: float = 15.0
+    adv_feat: float = 2.0
+    adv_gen: float = 1.0
+    kl: float = 0.1
+    stft: float = 0.0
+    waveform: float = 0.0
+
+
+def kl_beta(step, warmup: int = 10000, beta: float = 1.0):
+    """Linear KL beta annealing (reference: dac train.py:704-737)."""
+    return jnp.minimum(step.astype(jnp.float32) / warmup, 1.0) * beta
+
+
+def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
+                   sample_rate: int = 24000, gan_start_step: int = 0):
+    """Returns (gen_step, disc_step). batch: {'audio': (B, T)}."""
+
+    def disc_step(d_state: TrainState, g_params, batch, key):
+        audio = batch["audio"]
+
+        def loss_fn(d_params):
+            out = generator.apply({"params": g_params},
+                                  audio[..., None], key)
+            fake = out["audio"][..., 0]
+            real_scores, _ = discriminator.apply({"params": d_params}, audio)
+            fake_scores, _ = discriminator.apply(
+                {"params": d_params}, jax.lax.stop_gradient(fake))
+            return losses.discriminator_loss(real_scores, fake_scores)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        d_state = d_state.apply_gradients(grads)
+        return d_state, {"disc/loss": loss,
+                         "disc/grad_norm": optax.global_norm(grads)}
+
+    def gen_step(g_state: TrainState, d_params, batch, key):
+        audio = batch["audio"]
+
+        def loss_fn(g_params):
+            out = generator.apply({"params": g_params}, audio[..., None], key)
+            fake = out["audio"][..., 0]
+            mel = audio_losses.mel_spectrogram_loss(fake, audio, sample_rate)
+            stft = audio_losses.multi_scale_stft_loss(fake, audio) \
+                if lambdas.stft else 0.0
+            wav = audio_losses.l1_loss(fake, audio) if lambdas.waveform else 0.0
+            kl = losses.kl_loss(out["mu"], out["logs"])
+            use_gan = (g_state.step >= gan_start_step).astype(jnp.float32)
+            fake_scores, fake_fmaps = discriminator.apply(
+                {"params": d_params}, fake)
+            _, real_fmaps = discriminator.apply({"params": d_params}, audio)
+            adv = losses.generator_adv_loss(fake_scores)
+            feat = losses.feature_matching_loss(real_fmaps, fake_fmaps)
+            beta = kl_beta(g_state.step)
+            total = (lambdas.mel * mel + lambdas.stft * stft
+                     + lambdas.waveform * wav + lambdas.kl * beta * kl
+                     + use_gan * (lambdas.adv_gen * adv
+                                  + lambdas.adv_feat * feat))
+            return total, {"gen/mel": mel, "gen/kl": kl, "gen/adv": adv,
+                           "gen/feat": feat}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            g_state.params)
+        g_state = g_state.apply_gradients(grads)
+        metrics = {"gen/loss": loss,
+                   "gen/grad_norm": optax.global_norm(grads), **aux}
+        return g_state, metrics
+
+    return gen_step, disc_step
+
+
+def make_hift_steps(generator, discriminator, mel_weight: float = 45.0,
+                    feat_weight: float = 2.0, tpr_weight: float = 1.0,
+                    tpr_tau: float = 0.04, sample_rate: int = 24000):
+    """HiFT GAN steps (reference: hifigan/hifigan.py:9-67: adv + feature
+    match + 45x mel L1 + TPR + f0 L1 when pitch targets exist).
+    batch: {'speech_feat': (B, T, 80) mel, 'audio': (B, T*480) waveform,
+    optional 'pitch': (B, T)}."""
+    from minimax_speech_tpu.ops import mel as mel_ops
+
+    def gen_mel(x):
+        return mel_ops.hifigan_log_mel(x)
+
+    def disc_step(d_state: TrainState, g_params, batch, key):
+        def loss_fn(d_params):
+            fake, _ = generator.apply({"params": g_params},
+                                      batch["speech_feat"], key)
+            real_s, _ = discriminator.apply({"params": d_params},
+                                            batch["audio"])
+            fake_s, _ = discriminator.apply(
+                {"params": d_params}, jax.lax.stop_gradient(fake))
+            loss = losses.discriminator_loss(real_s, fake_s)
+            loss = loss + tpr_weight * losses.tpr_loss(real_s, fake_s, tpr_tau)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        d_state = d_state.apply_gradients(grads)
+        return d_state, {"disc/loss": loss}
+
+    def gen_step(g_state: TrainState, d_params, batch, key):
+        def loss_fn(g_params):
+            fake, _ = generator.apply({"params": g_params},
+                                      batch["speech_feat"], key)
+            fake_s, fake_f = discriminator.apply({"params": d_params}, fake)
+            real_s, real_f = discriminator.apply({"params": d_params},
+                                                 batch["audio"])
+            adv = losses.generator_adv_loss(fake_s)
+            feat = losses.feature_matching_loss(real_f, fake_f)
+            n = min(fake.shape[-1], batch["audio"].shape[-1])
+            mel_l = audio_losses.l1_loss(gen_mel(fake[..., :n]),
+                                         gen_mel(batch["audio"][..., :n]))
+            tpr = losses.tpr_loss(real_s, fake_s, tpr_tau)
+            total = adv + feat_weight * feat + mel_weight * mel_l \
+                + tpr_weight * tpr
+            if "pitch" in batch:
+                f0 = generator.apply({"params": g_params},
+                                     batch["speech_feat"],
+                                     method=type(generator).predict_f0)
+                total = total + audio_losses.l1_loss(f0, batch["pitch"])
+            return total, {"gen/adv": adv, "gen/feat": feat,
+                           "gen/mel": mel_l, "gen/tpr": tpr}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            g_state.params)
+        g_state = g_state.apply_gradients(grads)
+        return g_state, {"gen/loss": loss, **aux}
+
+    return gen_step, disc_step
+
+
+def make_dpo_step(model, ref_params, beta: float = 0.01,
+                  label_smoothing: float = 0.0, ipo: bool = False):
+    """DPO fine-tuning step for the LM (reference: llm.py:570-614 +
+    utils/train_utils.py:327-344 pairing + utils/losses.py:24-57).
+    batch holds chosen and rejected plans (suffix _rej)."""
+
+    def seq_logp(params, batch, suffix=""):
+        return model.apply({"params": params}, batch["src_type" + suffix],
+                           batch["tok_id" + suffix], batch["target" + suffix],
+                           batch["seq_len" + suffix], batch["spk_emb"],
+                           method=type(model).sequence_logp)
+
+    def step(state: TrainState, batch):
+        ref_chosen = seq_logp(ref_params, batch)
+        ref_rej = seq_logp(ref_params, batch, "_rej")
+
+        def loss_fn(params):
+            chosen = seq_logp(params, batch)
+            rej = seq_logp(params, batch, "_rej")
+            loss, cr, rr = losses.dpo_loss(chosen, rej, ref_chosen, ref_rej,
+                                           beta, label_smoothing, ipo)
+            acc = jnp.mean((cr > rr).astype(jnp.float32))
+            return loss, {"dpo/chosen_reward": jnp.mean(cr),
+                          "dpo/rejected_reward": jnp.mean(rr),
+                          "dpo/reward_acc": acc}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        return state, {"dpo/loss": loss, **aux}
+
+    return step
