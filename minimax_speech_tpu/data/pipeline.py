@@ -66,33 +66,43 @@ class DataList:
             yield dict(item) if isinstance(item, dict) else {"src": item}
 
 
+def attach_sidecars(sample: dict, token_latent_ratio: int = 2
+                    ) -> Iterator[dict]:
+    """Attach {<stem>.txt, <stem>_fsq.*, <stem>_latent2x.*} sidecar data
+    to a sample that already carries decoded audio; skip-and-log on error
+    (reference: processor.py:31-189; the reference expects the
+    `_latent2x.pt` suffix even though its README says `_latent.pt`)."""
+    try:
+        stem = Path(sample["src"]).with_suffix("")
+        txt = Path(str(stem) + ".txt")
+        sample["text"] = txt.read_text().strip()
+        tok = _load_array(str(stem) + "_fsq")
+        lat = _load_array(str(stem) + "_latent2x")
+        if lat.ndim == 3:
+            lat = lat[0]
+        if lat.shape[0] == 80 and lat.shape[1] != 80:  # (80, T) -> (T, 80)
+            lat = lat.T
+        n = min(len(tok), lat.shape[0] // token_latent_ratio)
+        sample["speech_token"] = np.asarray(tok[:n], np.int32)
+        sample["speech_latent"] = np.asarray(
+            lat[: n * token_latent_ratio], np.float32)
+        yield sample
+    except Exception as e:  # skip-and-log, like the reference
+        print(f"opener skip {sample.get('src')}: {e}")
+
+
 def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2
                            ) -> Iterator[dict]:
-    """Read {wav, txt, <stem>_fsq.npy/pt, <stem>_latent2x.npy/pt} per item
-    and align token/latent lengths by the ratio
-    (reference: processor.py:31-189; note the reference expects the
-    `_latent2x.pt` suffix even though its README says `_latent.pt`)."""
+    """Read wav + sidecars per item (reference: processor.py:31-189)."""
     for sample in data:
         try:
-            stem = Path(sample["src"]).with_suffix("")
-            txt = Path(str(stem) + ".txt")
-            sample["text"] = txt.read_text().strip()
-            tok = _load_array(str(stem) + "_fsq")
-            lat = _load_array(str(stem) + "_latent2x")
-            if lat.ndim == 3:
-                lat = lat[0]
-            if lat.shape[0] < lat.shape[-1]:  # (80, T) -> (T, 80)
-                lat = lat.T
-            n = min(len(tok), lat.shape[0] // token_latent_ratio)
-            sample["speech_token"] = np.asarray(tok[:n], np.int32)
-            sample["speech_latent"] = np.asarray(
-                lat[: n * token_latent_ratio], np.float32)
             audio, sr = _load_audio(sample["src"])
-            sample["audio"] = audio
-            sample["sample_rate"] = sr
-            yield sample
-        except Exception as e:  # skip-and-log, like the reference
+        except Exception as e:
             print(f"opener skip {sample.get('src')}: {e}")
+            continue
+        sample["audio"] = audio
+        sample["sample_rate"] = sr
+        yield from attach_sidecars(sample, token_latent_ratio)
 
 
 def _load_array(stem: str) -> np.ndarray:

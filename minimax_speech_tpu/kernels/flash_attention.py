@@ -1,0 +1,165 @@
+"""Pallas TPU flash attention with pad + chunk-causal masking.
+
+Blockwise online-softmax attention for the conformer/UNet/LM attention
+paths. The streaming chunk masks the reference builds as dense (T, T)
+boolean tensors (speech/cosyvoice/utils/mask.py:161-236) become a
+*block-level* predicate here: a (TQ, TK) tile is skipped entirely when
+the chunk pattern rules it out, computed when fully inside, and masked
+elementwise only on the boundary diagonal — so streaming attention costs
+O(T * chunk) instead of O(T^2).
+
+Forward-only (inference path); training uses XLA attention (which
+fuses well at these sizes). Tile sizes default to the MXU-native 128.
+
+mask modes:
+  full        — pad mask only
+  causal      — lower triangular
+  chunk       — chunk-causal: q attends k iff k < (q//chunk + 1) * chunk
+                (+ optional num_left_chunks window)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, len_ref, o_ref,
+                 *, block_q: int, block_k: int, chunk: int,
+                 left_chunks: int, causal: bool, scale: float,
+                 seq_len: int):
+    qi = pl.program_id(1)
+    q = q_ref[0]  # (block_q, d)
+    kv_len = len_ref[pl.program_id(0)]
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+
+    num_k_blocks = seq_len // block_k
+
+    def body(kj, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kj * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kj * block_k, block_k), :]
+        k_pos = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        mask = k_pos < kv_len  # pad mask
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        if chunk > 0:
+            block_end = (q_pos // chunk + 1) * chunk
+            mask = mask & (k_pos < block_end)
+            if left_chunks >= 0:
+                block_start = jnp.maximum(
+                    (q_pos // chunk - left_chunks) * chunk, 0)
+                mask = mask & (k_pos >= block_start)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    def block_visible(kj):
+        # skip tiles that the chunk/causal pattern rules out entirely
+        k_first = kj * block_k
+        vis = k_first < kv_len
+        if causal:
+            vis = vis & (k_first <= qi * block_q + block_q - 1)
+        if chunk > 0:
+            q_last_end = ((qi * block_q + block_q - 1) // chunk + 1) * chunk
+            vis = vis & (k_first < q_last_end)
+            if left_chunks >= 0:
+                q_first_start = jnp.maximum(
+                    ((qi * block_q) // chunk - left_chunks) * chunk, 0)
+                vis = vis & (k_first + block_k > q_first_start)
+        return vis
+
+    def loop(kj, carry):
+        return jax.lax.cond(block_visible(kj), lambda c: body(kj, c),
+                            lambda c: c, carry)
+
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, loop, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "left_chunks", "causal", "block_q", "block_k"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    kv_len: Optional[jnp.ndarray] = None,
+                    chunk: int = 0, left_chunks: int = -1,
+                    causal: bool = False, block_q: int = 128,
+                    block_k: int = 128) -> jnp.ndarray:
+    """q, k, v: (B, H, T, D) with T a multiple of the block sizes
+    (pad + pass kv_len (B,) for ragged lengths). Returns (B, H, T, D)."""
+    b, h, t, d = q.shape
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    scale = 1.0 / np.sqrt(d)
+    if kv_len is None:
+        kv_len = jnp.full((b,), t, jnp.int32)
+    kv_len = jnp.broadcast_to(
+        kv_len[:, None], (b, h)).reshape(b * h).astype(jnp.int32)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+
+    kernel = functools.partial(
+        _attn_kernel, block_q=block_q, block_k=block_k, chunk=chunk,
+        left_chunks=left_chunks, causal=causal, scale=scale, seq_len=t)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, t // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_len, whole array
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+    )(qf, kf, vf, kv_len)
+    return out.reshape(b, h, t, d)
+
+
+def reference_attention(q, k, v, kv_len=None, chunk=0, left_chunks=-1,
+                        causal=False):
+    """XLA reference implementation (for tests and the training path)."""
+    b, h, t, d = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    k_pos = jnp.arange(t)[None, :]
+    q_pos = jnp.arange(t)[:, None]
+    mask = jnp.ones((t, t), bool)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    if chunk > 0:
+        mask = mask & (k_pos < (q_pos // chunk + 1) * chunk)
+        if left_chunks >= 0:
+            mask = mask & (k_pos >= jnp.maximum(
+                (q_pos // chunk - left_chunks) * chunk, 0))
+    mask = mask[None, None]
+    if kv_len is not None:
+        mask = mask & (k_pos[None, None] < kv_len[:, None, None, None])
+    s = jnp.where(mask, s, NEG_INF)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)

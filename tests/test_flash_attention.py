@@ -1,0 +1,45 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.kernels import flash_attention as fa
+
+
+def _run(q, k, v, interpret=True, **kw):
+    # interpret mode lets the Pallas kernel run on CPU for testing
+    import functools
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    if interpret:
+        def patched(*a, **kws):
+            kws.setdefault("interpret", True)
+            return orig(*a, **kws)
+        pl.pallas_call = patched
+    try:
+        # bypass the jit wrapper so the monkeypatch takes effect
+        return fa.flash_attention.__wrapped__(q, k, v, **kw)
+    finally:
+        pl.pallas_call = orig
+
+
+@pytest.mark.parametrize("case", ["full", "causal", "chunk", "chunk_left"])
+def test_flash_matches_reference(case, rng):
+    b, h, t, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    kv_len = jnp.array([256, 173])
+    kw = dict(full={}, causal=dict(causal=True),
+              chunk=dict(chunk=50),
+              chunk_left=dict(chunk=50, left_chunks=2))[case]
+    ours = _run(q, k, v, kv_len=kv_len, block_q=128, block_k=128, **kw)
+    golden = fa.reference_attention(q, k, v, kv_len=kv_len, **kw)
+    # compare only valid query rows (padded queries are undefined)
+    for i in range(b):
+        n = int(kv_len[i])
+        np.testing.assert_allclose(np.asarray(ours)[i, :, :n],
+                                   np.asarray(golden)[i, :, :n],
+                                   atol=2e-5, rtol=1e-4)
