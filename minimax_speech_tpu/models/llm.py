@@ -170,6 +170,32 @@ class SpeechLM(nn.Module):
     def embed_speech_token(self, tok):
         return self.speech_embedding(tok)
 
+    def embed_text_token(self, tok):
+        return self.text_embedding(tok)
+
+    def extend(self, emb, pos, n_true, valid, cache, slot):
+        """Append a block of `emb` (B, n, C) to the KV cache at slots
+        [slot, slot+n) — the bistream path appends text/speech chunks
+        mid-decode (reference: llm.py:762-861). Only the first n_true
+        tokens are real; padded tail slots stay invalid. Returns
+        (logits at the last true position (B, V), cache, valid)."""
+        b, n, _ = emb.shape
+        k = valid.shape[1]
+        k_idx = jnp.arange(k)[None, None, :]                 # (1, 1, K)
+        q_idx = jnp.arange(n)[None, :, None]                 # (1, n, 1)
+        true_mask = q_idx[0, :, 0][None, :] < n_true[:, None]  # (B, n)
+        new_valid = (k_idx[0] >= slot) & (k_idx[0] < slot + n_true[:, None])
+        valid = valid | new_valid
+        self_region = (k_idx >= slot) & (k_idx < slot + n)
+        allowed = (valid[:, None, :] & ~self_region) | (
+            self_region & (k_idx - slot <= q_idx)
+            & (k_idx - slot < n_true[:, None, None]))
+        bias = jnp.where(allowed, 0.0, -1e10)[:, None].astype(jnp.float32)
+        hidden, cache = self.llm(emb, pos, bias, cache, slot)
+        last = jnp.take_along_axis(
+            hidden, jnp.maximum(n_true - 1, 0)[:, None, None], axis=1)[:, 0]
+        return self.llm_decoder(last), cache, valid
+
     def _init_all(self, src_type, tok_id, target, seq_len, spk_emb,
                   reference_mel):
         """Trace every parameterized path once (training + speaker encoder)
