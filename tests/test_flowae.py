@@ -1,0 +1,102 @@
+"""flowae track tests: FM math parity vs torch semantics, DiT shapes,
+DiTo train/decode roundtrip."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from minimax_speech_tpu.flowae import fm as fm_lib
+from minimax_speech_tpu.flowae.dit import DiT1D, DiTConfig
+from minimax_speech_tpu.flowae.dito import DiToAudio, DiToConfig, dito_decode
+from minimax_speech_tpu.flowae.trainer import (eval_reconstruction,
+                                               make_dito_step)
+from minimax_speech_tpu.train import schedule, steps
+
+
+def test_fm_schedule_matches_reference():
+    cfg = fm_lib.FMConfig(sigma_min=1e-5)
+    t = jnp.array([0.0, 0.3, 1.0])
+    np.testing.assert_allclose(np.asarray(fm_lib.alpha(t, cfg)),
+                               [1.0, 0.7, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(fm_lib.sigma(t, cfg)),
+        [1e-5, 1e-5 + 0.3 * (1 - 1e-5), 1.0], rtol=1e-6)
+
+
+def test_fm_euler_with_linear_net():
+    """With net(x, t) = -x (negative velocity), euler from t=1 to 0 should
+    follow x *= (1 - dt) — verify against a torch loop of the reference
+    sampler semantics."""
+    cfg = fm_lib.FMConfig(use_immiscible=False)
+
+    def net(x, t):
+        return -x
+
+    noise = jnp.ones((1, 8, 1))
+    ours = fm_lib.euler_sample(net, noise.shape, 7, cfg, noise=noise)
+
+    x = torch.ones(1, 8, 1)
+    t_steps = torch.linspace(1, 0, 8)
+    for i in range(7):
+        x = x + (-x) * (t_steps[i] - t_steps[i + 1])
+    np.testing.assert_allclose(np.asarray(ours), x.numpy(), rtol=1e-5)
+
+
+def test_fm_loss_finite():
+    cfg = fm_lib.FMConfig()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 2))
+    loss = fm_lib.fm_loss(lambda xt, t: xt * 0.1, jax.random.PRNGKey(1),
+                          x, cfg)
+    assert np.isfinite(float(loss))
+
+
+def test_dit_shapes(rng):
+    cfg = DiTConfig(hidden=32, depth=2, num_heads=2, patch=4, in_channels=2,
+                    out_channels=2, cond_dim=6)
+    m = DiT1D(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 32, 2)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 4, 6)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x, jnp.array([0.5, 0.1]), z)
+    out = m.apply(params, x, jnp.array([0.5, 0.1]), z)
+    assert out.shape == (2, 32, 2)
+    # adaLN-zero: at init the network output is exactly zero
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+TINY_DITO = DiToConfig(
+    z_dim=4, enc_channels=8, enc_strides=(4, 4),
+    renderer=DiTConfig(hidden=32, depth=2, num_heads=2, patch=16,
+                       in_channels=1, out_channels=1, cond_dim=4),
+    render_n_steps=3)
+
+
+@pytest.mark.slow
+def test_dito_train_and_decode(rng):
+    model = DiToAudio(TINY_DITO)
+    audio = jnp.asarray(rng.standard_normal((2, 128, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), audio,
+                           jax.random.PRNGKey(1), 0.1,
+                           method=DiToAudio.loss)
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1)
+    state = steps.make_train_state(variables["params"], tx)
+    ema = state.params
+    step = jax.jit(make_dito_step(model, bf16=False))
+    losses = []
+    for i in range(3):
+        state, ema, m = step(state, ema, {"audio": audio},
+                             jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+
+    z, mu, _ = model.apply({"params": state.params}, audio,
+                           method=DiToAudio.encode)
+    assert mu.shape == (2, 8, 4)  # 128 / (4*4)
+    rec = dito_decode(model, {"params": state.params}, mu, 128,
+                      jax.random.PRNGKey(9))
+    assert rec.shape == (2, 128, 1)
+
+    metrics = eval_reconstruction(model, {"params": state.params}, audio,
+                                  jax.random.PRNGKey(10), n_steps=2)
+    assert np.isfinite(float(metrics["eval/mse"]))
