@@ -133,6 +133,44 @@ def _load_audio(path: str):
     return audio, sr
 
 
+def parquet_opener(data: Iterable[dict]) -> Iterator[dict]:
+    """Legacy parquet-shard opener (reference: processor.py:191-216):
+    each item's `src` is a parquet file whose rows carry utterance fields
+    (audio_data wav bytes, text, speech_token, ...)."""
+    import io as _io
+    import pyarrow.parquet as pq
+    for sample in data:
+        try:
+            table = pq.read_table(sample["src"]).to_pylist()
+        except Exception as e:
+            print(f"parquet opener skip {sample.get('src')}: {e}")
+            continue
+        for row in table:
+            out = dict(sample)
+            out.update(row)
+            if "audio_data" in out:
+                import wave
+                with wave.open(_io.BytesIO(out.pop("audio_data"))) as w:
+                    sr = w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+                out["audio"] = audio
+                out["sample_rate"] = sr
+            if "speech_token" in out:
+                out["speech_token"] = np.asarray(out["speech_token"], np.int32)
+            yield out
+
+
+def extract_pitch(data, sample_rate: int = 24000, hop: int = 480
+                  ) -> Iterator[dict]:
+    """Attach YIN f0 per mel frame (the pyworld replacement; GAN path,
+    reference: processor.py:23 + padding pitch_feat)."""
+    from minimax_speech_tpu.ops.pitch import yin_f0
+    for s in data:
+        s["pitch_feat"] = yin_f0(s["audio"], sample_rate, hop)
+        yield s
+
+
 # ---------------------------------------------------------------------------
 # map stages
 # ---------------------------------------------------------------------------

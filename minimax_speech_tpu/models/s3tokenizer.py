@@ -152,6 +152,98 @@ class S3TokenizerV2(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# v1 variant: whisper encoder (abs sinusoidal pos, no RoPE/FSMN) + vanilla
+# Euclidean VQ (reference: s3tokenizer/model.py:162-350; codebook 4096;
+# stride 2 for the 25 Hz model, 1 for 50 Hz)
+# ---------------------------------------------------------------------------
+
+def sinusoid_table(length: int, channels: int) -> jnp.ndarray:
+    """Whisper sinusoids (reference: s3tokenizer/model.py:67-75)."""
+    import numpy as _np
+    log_inc = _np.log(10000) / (channels // 2 - 1)
+    inv = _np.exp(-log_inc * _np.arange(channels // 2))
+    ang = _np.arange(length)[:, None] * inv[None, :]
+    return jnp.asarray(_np.concatenate([_np.sin(ang), _np.cos(ang)], 1),
+                       jnp.float32)
+
+
+class PlainAttention(nn.Module):
+    """Whisper attention (no rope, no fsmn) — v1 blocks."""
+    n_state: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        b, t, c = x.shape
+        d = c // self.n_head
+        q = nn.Dense(c, name="query")(x).reshape(b, t, self.n_head, d)
+        k = nn.Dense(c, use_bias=False, name="key")(x).reshape(
+            b, t, self.n_head, d)
+        v = nn.Dense(c, name="value")(x).reshape(b, t, self.n_head, d)
+        scale = d ** -0.25
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale)
+        scores = (scores + attn_bias).astype(jnp.float32)
+        w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, c)
+        return nn.Dense(c, name="out")(o)
+
+
+class V1Block(nn.Module):
+    n_state: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        h = nn.LayerNorm(name="attn_ln")(x)
+        x = x + PlainAttention(self.n_state, self.n_head, name="attn")(
+            h, attn_bias)
+        h = nn.LayerNorm(name="mlp_ln")(x)
+        h = nn.Dense(self.n_state * 4, name="mlp1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        return x + nn.Dense(self.n_state, name="mlp2")(h)
+
+
+class S3TokenizerV1(nn.Module):
+    """v1 tokenizer: whisper encoder + Euclidean VQ codebook.
+
+    stride=2 -> 25 Hz ('speech_tokenizer_v1_25hz'), stride=1 -> 50 Hz.
+    """
+    cfg: S3TokenizerConfig = S3TokenizerConfig(codebook_size=4096)
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, mel_len: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        t = mel.shape[1]
+        m = mask_ops.make_non_pad_mask(mel_len, t).astype(mel.dtype)
+        x = nn.Conv(cfg.n_state, (3,), strides=(self.stride,),
+                    padding=[(1, 1)], name="conv1")(mel * m[..., None])
+        x = jax.nn.gelu(x, approximate=False)
+        out_len = (mel_len - 1) // self.stride + 1
+        m = mask_ops.make_non_pad_mask(out_len, x.shape[1]).astype(x.dtype)
+        x = nn.Conv(cfg.n_state, (3,), strides=(2,),
+                    padding=[(1, 1)], name="conv2")(x * m[..., None])
+        x = jax.nn.gelu(x, approximate=False)
+        out_len = (out_len - 1) // 2 + 1
+
+        x = x + sinusoid_table(x.shape[1], cfg.n_state).astype(x.dtype)
+        pad = mask_ops.make_non_pad_mask(out_len, x.shape[1])
+        bias = mask_ops.mask_to_bias(pad[:, None, None, :], jnp.float32)
+        for i in range(cfg.n_layer):
+            x = V1Block(cfg.n_state, cfg.n_head, name=f"blocks_{i}")(x, bias)
+
+        codebook = self.param("codebook", nn.initializers.normal(1.0),
+                              (cfg.codebook_size, cfg.n_state))
+        # nearest-neighbor code: argmax of -(|x|^2 - 2 x.e + |e|^2)
+        dist = (-jnp.sum(x * x, -1, keepdims=True)
+                + 2 * jnp.einsum("btd,cd->btc", x, codebook)
+                - jnp.sum(codebook * codebook, -1)[None, None, :])
+        codes = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        return codes, out_len
+
+
+# ---------------------------------------------------------------------------
 # Long-audio windowing (host-side orchestration around the jitted encoder)
 # ---------------------------------------------------------------------------
 
