@@ -92,6 +92,19 @@ class TTSPipeline:
                                            method=dac_vae.DACVAE.decode))
         else:
             self._decode = jax.jit(lambda v, mel: self.hift.apply(v, mel)[0])
+
+        # fused flow+vocoder: one device dispatch for the whole post-LM path
+        # (each jit call pays tunnel/dispatch latency, which dominates the
+        # per-stage compute at these sizes)
+        def _post_lm(fv, cv, tok, tl, pf, emb, noise):
+            feat = flow_inference(self.flow, fv, tok, tl, pf, emb, noise)
+            if cfg.output_type == "latent":
+                wav = self.dac.apply(cv, feat, method=dac_vae.DACVAE.decode)
+            else:
+                wav = self.hift.apply(cv, feat)[0]
+            return wav
+
+        self._flow_and_decode = jax.jit(_post_lm)
         self._spk_lm = jax.jit(partial(self.lm.apply,
                                        method=llm_mod.SpeechLM.embed_speaker))
         self._spk_flow = jax.jit(partial(self.flow.apply,
@@ -185,23 +198,23 @@ class TTSPipeline:
         gen_tokens = np.asarray(out)[0, :n]
         t1 = time.perf_counter()
 
-        # flow: prompt + generated tokens
+        # flow + vocoder in ONE device call; prompt region is cut inside,
+        # bucket padding is trimmed from the waveform on the host
         all_tokens = np.concatenate([prompt_speech_tokens, gen_tokens])
         tl = len(all_tokens)
         tok_pad = next_bucket(tl)
         tokens = np.zeros((1, tok_pad), np.int32)
         tokens[0, :tl] = all_tokens
-        feat = self._flow_infer(
-            self.flow_vars, jnp.asarray(tokens), jnp.array([tl]),
+        wav_full = self._flow_and_decode(
+            self.flow_vars, self.codec_vars, jnp.asarray(tokens),
+            jnp.array([tl]),
             jnp.asarray(prompt_feat)[None].astype(jnp.float32), flow_emb,
             self.noise)
-        # flow_inference already cut the prompt region; keep only the
-        # frames belonging to the n generated tokens (bucket padding off)
-        feat = np.asarray(feat)[:, : n * cfg.token_latent_ratio]
         t2 = time.perf_counter()
 
-        wav = self._decode(self.codec_vars, jnp.asarray(feat))
-        wav = np.asarray(wav).reshape(-1)
+        spf = 480  # samples per latent frame at 24 kHz
+        wav = np.asarray(wav_full).reshape(-1)
+        wav = wav[: n * cfg.token_latent_ratio * spf]
         t3 = time.perf_counter()
 
         if return_timings:

@@ -1,0 +1,132 @@
+"""Batched serving: multi-request synthesis on one chip.
+
+The TPU answer to the reference's vLLM serving path
+(reference: cli/model.py:274-283 + llm/llm.py:715-743): instead of a
+paged-attention engine, requests are decoded TOGETHER in one jitted
+batched lax.while_loop (per-sample prompt lengths, min/max bounds, and
+EOS tracking are already batched in models/llm.py:generate), then the
+flow and codec run batched with ragged prompt masks. The AR decode is
+HBM-bandwidth-bound on the 0.5B weights, so batching B streams costs
+nearly the same wall-clock as one — throughput scales ~linearly with B
+until the MXU saturates.
+
+BatchSynthesizer = static batching (collect B requests, run one batch).
+A continuous-batching scheduler can sit on top by re-invoking with the
+active set each window.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.infer.pipeline import TTSPipeline, next_bucket
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.models.flow import flow_inference_batched
+
+
+@dataclass
+class Request:
+    text_tokens: np.ndarray
+    prompt_text_tokens: np.ndarray
+    prompt_speech_tokens: np.ndarray
+    prompt_feat: np.ndarray          # (Tp_i, 80)
+    lm_spk: np.ndarray               # (C,)
+    flow_emb: np.ndarray             # (192,)
+
+
+class BatchSynthesizer:
+    def __init__(self, pipeline: TTSPipeline):
+        self.p = pipeline
+        self._flow_batched = jax.jit(
+            lambda v, tok, tl, pf, pfl, emb, nz: flow_inference_batched(
+                self.p.flow, v, tok, tl, pf, pfl, emb, nz))
+
+    def synthesize_batch(self, requests: Sequence[Request], key=None,
+                         return_timings: bool = False):
+        """Run B requests in one batched decode. Returns list of wavs."""
+        cfg = self.p.cfg
+        b = len(requests)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+
+        # --- batched LM plan -------------------------------------------------
+        plans = [llm_mod.build_inference_plan(
+            np.concatenate([r.prompt_text_tokens, r.text_tokens]),
+            r.prompt_speech_tokens, use_spk=cfg.lm.use_speaker_encoder)
+            for r in requests]
+        p_max = next_bucket(max(pl[0].shape[1] for pl in plans))
+        src = np.zeros((b, p_max), np.int32)
+        tok = np.zeros((b, p_max), np.int32)
+        plen = np.zeros((b,), np.int32)
+        for i, (s, t_, n) in enumerate(plans):
+            src[i, : s.shape[1]] = s[0]
+            tok[i, : t_.shape[1]] = t_[0]
+            plen[i] = n[0]
+        spk = jnp.asarray(np.stack([r.lm_spk for r in requests]))
+        min_len = np.array([int(len(r.text_tokens)
+                                * cfg.min_token_text_ratio)
+                            for r in requests], np.int32)
+        max_len = np.array([min(int(len(r.text_tokens)
+                                    * cfg.max_token_text_ratio),
+                                cfg.max_speech_tokens)
+                            for r in requests], np.int32)
+
+        out, count = llm_mod.generate(
+            self.p.lm, self.p.lm_vars, jnp.asarray(src), jnp.asarray(tok),
+            jnp.asarray(plen), spk, key, jnp.asarray(min_len),
+            jnp.asarray(max_len), max_steps=cfg.max_speech_tokens)
+        out = np.asarray(out)
+        count = np.asarray(count)
+        t1 = time.perf_counter()
+
+        # --- batched flow + codec --------------------------------------------
+        # tokens for each request: prompt + generated (compacted, -1 gaps
+        # removed)
+        all_tokens, tls = [], []
+        for i, r in enumerate(requests):
+            gen = out[i][out[i] >= 0][: count[i]]
+            seq = np.concatenate([r.prompt_speech_tokens, gen])
+            all_tokens.append(seq)
+            tls.append(len(seq))
+        t_max = next_bucket(max(tls))
+        tok_b = np.zeros((b, t_max), np.int32)
+        for i, seq in enumerate(all_tokens):
+            tok_b[i, : len(seq)] = seq
+        pf_max = next_bucket(max(r.prompt_feat.shape[0] for r in requests),
+                             buckets=(16, 32, 64, 128, 256))
+        pf = np.zeros((b, pf_max, cfg.flow.output_size), np.float32)
+        pfl = np.zeros((b,), np.int32)
+        for i, r in enumerate(requests):
+            pf[i, : r.prompt_feat.shape[0]] = r.prompt_feat
+            pfl[i] = r.prompt_feat.shape[0]
+        femb = jnp.asarray(np.stack([r.flow_emb for r in requests]))
+
+        feat = self._flow_batched(
+            self.p.flow_vars, jnp.asarray(tok_b), jnp.asarray(tls),
+            jnp.asarray(pf), jnp.asarray(pfl), femb, self.p.noise)
+        feat = np.asarray(feat)
+        t2 = time.perf_counter()
+
+        # batched codec decode over the padded frames, slice per request
+        wav_all = np.asarray(self.p._decode(self.p.codec_vars,
+                                            jnp.asarray(feat)))
+        wavs = []
+        spf = 480  # samples per latent frame
+        for i in range(b):
+            lo = int(pfl[i])
+            hi = lo + int(count[i]) * cfg.token_latent_ratio
+            wavs.append(wav_all[i, lo * spf: hi * spf].reshape(-1))
+        t3 = time.perf_counter()
+
+        if return_timings:
+            audio_s = sum(len(w) for w in wavs) / cfg.sample_rate
+            return wavs, {"lm_s": t1 - t0, "flow_s": t2 - t1,
+                          "vocoder_s": t3 - t2, "total_s": t3 - t0,
+                          "audio_s": audio_s,
+                          "tokens": [int(c) for c in count]}
+        return wavs

@@ -154,7 +154,8 @@ def solve_euler(estimator_apply: Callable, params, x: jnp.ndarray,
                              streaming)
         d_cond, d_uncond = d2[:b], d2[b:]
         dphi = (1.0 + rate) * d_cond - rate * d_uncond
-        return x + dt * dphi, None
+        # keep the carry dtype stable under mixed precision
+        return (x + dt.astype(x.dtype) * dphi.astype(x.dtype)), None
 
     x, _ = jax.lax.scan(step, x, (ts, dts))
     return x

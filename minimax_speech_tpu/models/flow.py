@@ -113,7 +113,8 @@ class FlowModel(nn.Module):
         return loss
 
     def prepare_inference(self, token, token_len, prompt_feat, embedding,
-                          streaming: bool = False, finalize: bool = True):
+                          streaming: bool = False, finalize: bool = True,
+                          prompt_feat_len=None):
         """Everything before the ODE solve: encoder output `mu`, projected
         speaker embedding, prompt conditioning, frame mask.
 
@@ -142,8 +143,16 @@ class FlowModel(nn.Module):
         mel_len1 = prompt_feat.shape[1]
         mask = mask_ops.make_non_pad_mask(h_len, tf).astype(mu.dtype)
 
-        conds = jnp.zeros((mu.shape[0], tf, c.output_size), mu.dtype)
-        conds = conds.at[:, :mel_len1].set(prompt_feat)
+        if prompt_feat_len is None:
+            conds = jnp.zeros((mu.shape[0], tf, c.output_size), mu.dtype)
+            conds = conds.at[:, :mel_len1].set(prompt_feat)
+        else:
+            # ragged prompts (batched serving): per-sample prefix mask
+            pm = (jnp.arange(mel_len1)[None, :]
+                  < prompt_feat_len[:, None]).astype(mu.dtype)
+            prompt = prompt_feat * pm[..., None]
+            conds = jnp.zeros((mu.shape[0], tf, c.output_size), mu.dtype)
+            conds = conds.at[:, :mel_len1].set(prompt)
         return mu, mask, spks, conds
 
 
@@ -192,3 +201,25 @@ def flow_inference(model: FlowModel, variables, token, token_len,
     feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
                            c.n_timesteps, c.cfm, streaming=streaming)
     return feat[:, mel_len1:]
+
+
+def flow_inference_batched(model: FlowModel, variables, token, token_len,
+                           prompt_feat, prompt_feat_len, embedding, noise,
+                           streaming: bool = False):
+    """Batched variant with ragged prompt lengths: returns the FULL frame
+    sequence (B, 2*Tt, 80); callers slice each sample's generated region
+    [prompt_feat_len[i] : token_len[i]*ratio) on the host."""
+    c = model.cfg
+    mu, mask, spks, conds = model.apply(
+        variables, token, token_len, prompt_feat, embedding,
+        streaming, True, prompt_feat_len,
+        method=FlowModel.prepare_inference)
+    tf = mu.shape[1]
+
+    def est_apply(_, x, m_, mu_, t_, s_, c_, streaming_):
+        return model.apply(variables, x, m_, mu_, t_, s_, c_, streaming_,
+                           method=FlowModel.estimate)
+
+    z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
+    return cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
+                           c.n_timesteps, c.cfm, streaming=streaming)
