@@ -1,0 +1,15 @@
+#!/bin/bash
+# Sequential LLM then Flow training (reference: scripts/train_full_pipeline.sh).
+set -euo pipefail
+DATA_LIST=${1:?usage: train_full_pipeline.sh DATA_LIST EXP_DIR [TOKENIZER]}
+EXP_DIR=${2:?}
+TOKENIZER=${3:-}
+export PYTHONPATH="$(dirname "$0")/..:${PYTHONPATH:-}"
+TOK_ARG=""
+[ -n "$TOKENIZER" ] && TOK_ARG="--tokenizer_path $TOKENIZER"
+
+python -m minimax_speech_tpu.cli.train --model llm \
+    --train_data "$DATA_LIST" --model_dir "$EXP_DIR/llm" $TOK_ARG
+
+python -m minimax_speech_tpu.cli.train --model flow \
+    --train_data "$DATA_LIST" --model_dir "$EXP_DIR/flow" $TOK_ARG

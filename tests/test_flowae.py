@@ -100,3 +100,31 @@ def test_dito_train_and_decode(rng):
     metrics = eval_reconstruction(model, {"params": state.params}, audio,
                                   jax.random.PRNGKey(10), n_steps=2)
     assert np.isfinite(float(metrics["eval/mse"]))
+
+
+@pytest.mark.slow
+def test_glpto_roundtrip_and_steps(rng):
+    from minimax_speech_tpu.flowae.glpto import (GLPToAudio, GLPToConfig,
+                                                 make_glpto_steps)
+    from minimax_speech_tpu.models.discriminators import MSD
+    cfg = GLPToConfig(z_dim=4, enc_channels=8, enc_strides=(4, 4))
+    model = GLPToAudio(cfg)
+    disc = MSD(rate=1)
+    audio = jnp.asarray(rng.standard_normal((1, 256, 1)), jnp.float32) * 0.3
+    g_vars = model.init(jax.random.PRNGKey(0), audio)
+    rec, mu, logvar = model.apply(g_vars, audio)
+    assert rec.shape == audio.shape
+    assert mu.shape == (1, 16, 4)
+
+    d_vars = disc.init(jax.random.PRNGKey(1), audio[..., 0])
+    tx = schedule.make_optimizer(lr=1e-4, warmup_steps=1)
+    g_state = steps.make_train_state(g_vars["params"], tx)
+    d_state = steps.make_train_state(d_vars["params"], tx)
+    gen_step, disc_step = make_glpto_steps(model, disc, cfg)
+    d_state, dm = jax.jit(disc_step)(d_state, g_state.params,
+                                     {"audio": audio}, jax.random.PRNGKey(2))
+    g_state, gm = jax.jit(gen_step)(g_state, d_state.params,
+                                    {"audio": audio}, jax.random.PRNGKey(3))
+    assert np.isfinite(float(gm["gen/loss"]))
+    assert np.isfinite(float(dm["disc/loss"]))
+    assert float(gm["gen/adaptive_w"]) >= 0
