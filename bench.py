@@ -65,9 +65,9 @@ def main():
     cfg.max_token_text_ratio = GEN_TOKENS / TEXT_LEN
 
     def run(key):
-        return pipe.synthesize(text, ptext, prompt_tokens, prompt_latent,
-                               lm_spk, flow_emb, key=key,
-                               return_timings=True)
+        return pipe.synthesize_fused(text, ptext, prompt_tokens,
+                                     prompt_latent, lm_spk, flow_emb,
+                                     key=key, return_timings=True)
 
     # warmup (compiles every stage)
     wav, tim = run(jax.random.PRNGKey(1))
@@ -86,9 +86,8 @@ def main():
         "detail": {
             "audio_s": round(best["audio_s"], 2),
             "tokens": best["tokens"],
-            "lm_s": round(best["lm_s"], 4),
-            "flow_s": round(best["flow_s"], 4),
-            "vocoder_s": round(best["vocoder_s"], 4),
+            "total_s": round(best["total_s"], 4),
+            "mode": "fused_single_dispatch",
             "chip": "v5e",
         },
     }))

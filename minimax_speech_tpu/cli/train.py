@@ -138,12 +138,42 @@ def main(argv=None):
                          process_count=jax.process_count())
     stages = build_stages(tcfg, tokenizer, args.model)
 
+    cv_source = None
+    if args.cv_data:
+        cv_items = [{"src": line.strip()} for line in
+                    Path(args.cv_data).read_text().splitlines()
+                    if line.strip()]
+        # cv is not partitioned across processes (reference:
+        # dataset.py:152-153 — every rank evaluates the same data)
+        cv_source = dp.DataList(cv_items, shuffle=False, partition=False)
+
+    if args.model == "llm":
+        def cv_loss(state, batch):
+            loss, acc = model.apply({"params": state.params},
+                                    batch["src_type"], batch["tok_id"],
+                                    batch["target"], batch["seq_len"],
+                                    jnp.zeros((batch["src_type"].shape[0],
+                                               tts_cfg.lm.llm_input_size)))
+            return {"loss": loss, "acc": acc}
+    else:
+        def cv_loss(state, batch, key):
+            loss = model.apply({"params": state.params}, batch["token"],
+                               batch["token_len"], batch["feat"],
+                               batch["feat_len"],
+                               jnp.zeros((batch["token"].shape[0],
+                                          tts_cfg.flow.spk_embed_dim)), key)
+            return {"loss": loss}
+
     max_epoch = args.max_epoch or tcfg.get("max_epoch", 2000)
     for epoch in range(max_epoch):
         source.set_epoch(epoch)
         batches = dp.build_dataset(source, stages)
         ex.train_one_epoch(batches)
         logger.log(ex.step, {"epoch": epoch}, force=True)
+        if cv_source is not None:
+            cv_batches = dp.build_dataset(cv_source, stages)
+            ex.cv(cv_batches, jax.jit(cv_loss) if args.model == "llm"
+                  else cv_loss)
     ckpt.save(ex.step, ex.state)
     ckpt.wait()
 

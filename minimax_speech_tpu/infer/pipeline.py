@@ -105,6 +105,43 @@ class TTSPipeline:
             return wav
 
         self._flow_and_decode = jax.jit(_post_lm)
+
+        # whole-utterance fusion: LM decode + flow + vocoder in ONE jitted
+        # program (a single device dispatch — the tunnel round-trip per
+        # dispatch costs more than the flow+codec compute)
+        from minimax_speech_tpu.models.flow import flow_inference_batched
+
+        def _e2e(lm_vars, flow_vars, codec_vars, src, tok, plen, spk, key,
+                 min_len, max_len, prompt_tokens, prompt_tok_len,
+                 prompt_feat, prompt_feat_len, femb, noise):
+            out, count = llm_mod.generate.__wrapped__(
+                self.lm, lm_vars, src, tok, plen, spk, key, min_len,
+                max_len, max_steps=cfg.max_speech_tokens)
+            b, p_max = prompt_tokens.shape
+            gen = jnp.clip(out, 0, None)  # -1 pads -> 0, masked by length
+            # compact [prompt | generated] by gather: position j holds
+            # prompt_tokens[j] while j < prompt_tok_len, else
+            # gen[j - prompt_tok_len]
+            L = p_max + gen.shape[1]
+            j = jnp.arange(L)[None, :]
+            take_prompt = j < prompt_tok_len[:, None]
+            pv = jnp.take_along_axis(
+                prompt_tokens, jnp.clip(j, 0, p_max - 1), axis=1)
+            gi = jnp.clip(j - prompt_tok_len[:, None], 0, gen.shape[1] - 1)
+            gv = jnp.take_along_axis(gen, gi, axis=1)
+            compact = jnp.where(take_prompt, pv, gv)
+            tl = prompt_tok_len + count
+            feat = flow_inference_batched(
+                self.flow, flow_vars, compact, tl, prompt_feat,
+                prompt_feat_len, femb, noise)
+            if cfg.output_type == "latent":
+                wav = self.dac.apply(codec_vars, feat,
+                                     method=dac_vae.DACVAE.decode)
+            else:
+                wav = self.hift.apply(codec_vars, feat)[0]
+            return wav, count
+
+        self._e2e_fused = jax.jit(_e2e)
         self._spk_lm = jax.jit(partial(self.lm.apply,
                                        method=llm_mod.SpeechLM.embed_speaker))
         self._spk_flow = jax.jit(partial(self.flow.apply,
@@ -221,5 +258,56 @@ class TTSPipeline:
             return wav, {"lm_s": t1 - t0, "flow_s": t2 - t1,
                          "vocoder_s": t3 - t2, "total_s": t3 - t0,
                          "tokens": n,
+                         "audio_s": len(wav) / cfg.sample_rate}
+        return wav
+
+    def synthesize_fused(self, text_tokens: np.ndarray,
+                         prompt_text_tokens: np.ndarray,
+                         prompt_speech_tokens: np.ndarray,
+                         prompt_feat: np.ndarray, lm_spk, flow_emb,
+                         key=None, return_timings: bool = False):
+        """One-dispatch synthesis: the whole LM-decode -> flow -> vocoder
+        chain runs as a single jitted program."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+
+        full_text = np.concatenate([prompt_text_tokens, text_tokens])
+        src, tok, plen = llm_mod.build_inference_plan(
+            full_text, prompt_speech_tokens,
+            use_spk=cfg.lm.use_speaker_encoder)
+        pad_to = next_bucket(src.shape[1])
+        src = np.pad(src, ((0, 0), (0, pad_to - src.shape[1])))
+        tok = np.pad(tok, ((0, 0), (0, pad_to - tok.shape[1])))
+        n_text = len(text_tokens)
+        min_len = int(n_text * cfg.min_token_text_ratio)
+        max_len = min(int(n_text * cfg.max_token_text_ratio),
+                      cfg.max_speech_tokens)
+
+        pt_pad = next_bucket(len(prompt_speech_tokens),
+                             buckets=(16, 32, 64, 128, 256))
+        ptoks = np.zeros((1, pt_pad), np.int32)
+        ptoks[0, : len(prompt_speech_tokens)] = prompt_speech_tokens
+        pf_pad = next_bucket(prompt_feat.shape[0],
+                             buckets=(16, 32, 64, 128, 256, 512))
+        pf = np.zeros((1, pf_pad, cfg.flow.output_size), np.float32)
+        pf[0, : prompt_feat.shape[0]] = prompt_feat
+        pfl = prompt_feat.shape[0]
+
+        wav_full, count = self._e2e_fused(
+            self.lm_vars, self.flow_vars, self.codec_vars,
+            jnp.asarray(src), jnp.asarray(tok), jnp.asarray(plen), lm_spk,
+            key, jnp.array([min_len]), jnp.array([max_len]),
+            jnp.asarray(ptoks),
+            jnp.array([len(prompt_speech_tokens)], jnp.int32),
+            jnp.asarray(pf), jnp.array([pfl], jnp.int32), flow_emb,
+            self.noise)
+        n = int(count[0])
+        spf = 480
+        wav = np.asarray(wav_full).reshape(wav_full.shape[0], -1)[0]
+        wav = wav[pfl * spf: (pfl + n * cfg.token_latent_ratio) * spf]
+        t1 = time.perf_counter()
+        if return_timings:
+            return wav, {"total_s": t1 - t0, "tokens": n,
                          "audio_s": len(wav) / cfg.sample_rate}
         return wav

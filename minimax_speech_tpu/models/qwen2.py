@@ -89,11 +89,11 @@ class Qwen2Attention(nn.Module):
             keys, values = k, v
             new_cache = None
 
-        # GQA: repeat kv heads
+        # GQA: repeat kv heads (XLA folds the broadcast into the dots; an
+        # explicit grouped 5-d einsum measured ~20% slower end-to-end)
         rep = h // kvh
         keys_r = jnp.repeat(keys, rep, axis=2)
         values_r = jnp.repeat(values, rep, axis=2)
-
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys_r) / np.sqrt(d)
         scores = scores.astype(jnp.float32) + attn_bias
         w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)

@@ -23,17 +23,20 @@ import jax.numpy as jnp
 
 def nucleus_sample(key: jax.Array, logp: jnp.ndarray, top_p: float = 0.8,
                    top_k: int = 25) -> jnp.ndarray:
-    """Sample one token id from log-probs (V,) with top-p/top-k truncation."""
+    """Sample one token id from log-probs (V,) with top-p/top-k truncation.
+
+    Uses lax.top_k (ties broken by lower index, matching the reference's
+    stable descending sort) instead of a full-vocab argsort — the sort
+    was the most expensive op in each decode step."""
     probs = jax.nn.softmax(logp.astype(jnp.float32))
-    order = jnp.argsort(-probs, stable=True)
-    sorted_probs = probs[order]
-    cum_excl = jnp.cumsum(sorted_probs) - sorted_probs
-    rank = jnp.arange(probs.shape[0])
-    keep = (cum_excl < top_p) & (rank < top_k)
-    kept = jnp.where(keep, sorted_probs, 0.0)
+    k = min(top_k, probs.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(probs, k)
+    cum_excl = jnp.cumsum(top_vals) - top_vals
+    keep = cum_excl < top_p
+    kept = jnp.where(keep, top_vals, 0.0)
     # renormalized categorical over the kept prefix
-    idx = jax.random.categorical(key, jnp.log(jnp.maximum(kept, 1e-30)))
-    return order[idx]
+    i = jax.random.categorical(key, jnp.log(jnp.maximum(kept, 1e-30)))
+    return top_idx[i]
 
 
 def random_sample(key: jax.Array, logp: jnp.ndarray) -> jnp.ndarray:

@@ -70,11 +70,8 @@ def grad_norms_by_component(grads, groups: dict[str, str]):
     return out
 
 
-def make_lm_train_step(model, norm_groups=None):
-    """Returns step(state, batch, key) -> (state, metrics). batch holds the
-    plan tensors (src_type, tok_id, target, seq_len) and spk_emb."""
-    groups = norm_groups or {"llm": "llm/", "decoder": "llm_decoder",
-                             "speech_emb": "speech_embedding"}
+def make_lm_loss_fn(model):
+    """Shared train/cv loss: plan CE+acc with in-step speaker encoding."""
 
     def loss_fn(params, batch):
         variables = {"params": params}

@@ -1,0 +1,55 @@
+"""Multi-host helpers.
+
+The reference's torchrun/NCCL machinery (SURVEY §2.7: elastic launch,
+monitored barriers, uneven-workload join) maps to:
+  * jax.distributed.initialize() per host (coordinator via env/args)
+  * synchronous SPMD — device-level barriers are implicit in collectives
+  * host-level sync points via multihost_utils
+  * uneven data: each host computes its local number of batches and the
+    epoch runs min-across-hosts steps (agree_steps) — the XLA-safe
+    replacement for dist.monitored_barrier + break
+    (reference: utils/train_utils.py:285-304).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None):
+    """jax.distributed.initialize wrapper (torchrun-equivalent; reads
+    JAX_COORDINATOR_ADDRESS etc. when args are None)."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def sync_hosts(name: str = "sync"):
+    """Host-level barrier (replaces dist.barrier around checkpointing,
+    reference: executor.py:116-126)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def agree_steps(local_steps: int) -> int:
+    """All hosts agree on min(local_steps): every host runs the same number
+    of SPMD steps per epoch, so no rank can enter a collective alone —
+    the reference's monitored-barrier failure mode cannot occur."""
+    from jax.experimental import multihost_utils
+    arr = np.array([local_steps], np.int32)
+    gathered = multihost_utils.process_allgather(arr)
+    return int(np.min(gathered))
+
+
+def host_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-indexed batch (rank::world over
+    items is done in DataList; this is the contiguous alternative)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -80,3 +80,12 @@ def test_extract_clis(tmp_path, rng):
                               "--verify_fraction", "1.0"])
     lat = np.load(tmp_path / "b0_latent2x.npz")
     assert lat["mu"].shape[1] == 80
+
+
+def test_hf_config_variant():
+    from minimax_speech_tpu import config as cfg_lib
+    cfg = cfg_lib.load_tts_config("configs/hf.yaml")
+    assert cfg.lm.qwen.hidden_size == 512
+    assert cfg.token_latent_ratio == 3
+    assert cfg.flow.encoder.num_blocks == 4
+    assert cfg.dac.encoder_rates == (2, 3, 4, 4, 5)  # inherited

@@ -179,3 +179,30 @@ def test_generate_decodes(lm):
         jnp.asarray(plen), spk, jax.random.PRNGKey(1),
         jnp.array([2]), jnp.array([20]), max_steps=24)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_legacy_transformer_lm(rng):
+    from minimax_speech_tpu.models.legacy_lm import (LegacyLMConfig,
+                                                     LegacyTransformerLM)
+    cfg = LegacyLMConfig(text_vocab_size=100, speech_token_size=40,
+                         text_encoder_input_size=16, llm_input_size=32,
+                         llm_output_size=32, text_encoder_blocks=1,
+                         llm_blocks=1, attention_heads=2, linear_units=32)
+    m = LegacyTransformerLM(cfg)
+    plan = llm_mod.build_lm_plan([np.arange(4)], [np.arange(8)],
+                                 bistream_flags=[False], eos=40, fill=42,
+                                 pad_to=16)
+    text_tok = jnp.asarray(np.arange(4)[None])
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.asarray(plan["src_type"]),
+                       jnp.asarray(plan["tok_id"]),
+                       jnp.asarray(plan["target"]),
+                       jnp.asarray(plan["seq_len"]),
+                       jnp.zeros((1, 32)), text_tok, jnp.array([4]))
+    loss, acc = m.apply(variables, jnp.asarray(plan["src_type"]),
+                        jnp.asarray(plan["tok_id"]),
+                        jnp.asarray(plan["target"]),
+                        jnp.asarray(plan["seq_len"]),
+                        jnp.zeros((1, 32)), text_tok, jnp.array([4]))
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
