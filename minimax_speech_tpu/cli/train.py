@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--init_ckpt", type=str, default=None,
                    help=".npz params to start from (e.g. converted ref ckpt)")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel extent (default: n_devices // tp)")
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
     return p.parse_args(argv)
@@ -79,7 +81,10 @@ def main(argv=None):
     tts_cfg = cfg_lib.build_tts_config(data.get("model", {}))
     tcfg = data.get("train", {})
 
-    mesh = mesh_lib.make_mesh(tp=args.tp)
+    devices = jax.devices()
+    if args.dp is not None:
+        devices = devices[: args.dp * args.tp]
+    mesh = mesh_lib.make_mesh(dp=args.dp, tp=args.tp, devices=devices)
     tokenizer = get_tokenizer(args.tokenizer_path)
 
     key = jax.random.PRNGKey(1986)
@@ -123,9 +128,17 @@ def main(argv=None):
         allowed_keys = {"token", "token_len", "feat", "feat_len",
                         "reference_mel", "reference_mel_len"}
 
+    dp_size = mesh.shape["dp"]
+
     def put(batch):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k in allowed_keys}
+        batch = {k: v for k, v in batch.items() if k in allowed_keys}
+        b = next(iter(batch.values())).shape[0]
+        keep = (b // dp_size) * dp_size
+        if keep == 0:
+            return None  # remainder batch smaller than the dp extent
+        if keep != b:
+            batch = {k: v[:keep] for k, v in batch.items()}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return jax.device_put(batch, mesh_lib.batch_sharding(mesh))
 
     ex = Executor(steps.jit_step(step_fn), state, logger, ckpt,
@@ -147,22 +160,18 @@ def main(argv=None):
         # dataset.py:152-153 — every rank evaluates the same data)
         cv_source = dp.DataList(cv_items, shuffle=False, partition=False)
 
+    # cv reuses the training loss (incl. in-step speaker conditioning)
     if args.model == "llm":
+        lm_loss = jax.jit(steps.make_lm_loss_fn(model))
+
         def cv_loss(state, batch):
-            loss, acc = model.apply({"params": state.params},
-                                    batch["src_type"], batch["tok_id"],
-                                    batch["target"], batch["seq_len"],
-                                    jnp.zeros((batch["src_type"].shape[0],
-                                               tts_cfg.lm.llm_input_size)))
+            loss, acc = lm_loss(state.params, batch)
             return {"loss": loss, "acc": acc}
     else:
+        flow_loss = jax.jit(steps.make_flow_loss_fn(model))
+
         def cv_loss(state, batch, key):
-            loss = model.apply({"params": state.params}, batch["token"],
-                               batch["token_len"], batch["feat"],
-                               batch["feat_len"],
-                               jnp.zeros((batch["token"].shape[0],
-                                          tts_cfg.flow.spk_embed_dim)), key)
-            return {"loss": loss}
+            return {"loss": flow_loss(state.params, batch, key)}
 
     max_epoch = args.max_epoch or tcfg.get("max_epoch", 2000)
     for epoch in range(max_epoch):
@@ -172,8 +181,7 @@ def main(argv=None):
         logger.log(ex.step, {"epoch": epoch}, force=True)
         if cv_source is not None:
             cv_batches = dp.build_dataset(cv_source, stages)
-            ex.cv(cv_batches, jax.jit(cv_loss) if args.model == "llm"
-                  else cv_loss)
+            ex.cv(cv_batches, cv_loss)
     ckpt.save(ex.step, ex.state)
     ckpt.wait()
 

@@ -58,7 +58,7 @@ def _spec_for(path: str, rules) -> P:
 
 def param_shardings(mesh: Mesh, params, kind: str = "lm"):
     """Pytree of NamedShardings for params. kind: 'lm' | 'flow' | 'replicated'."""
-    rules = {"lm": _LM_RULES, "flow": _FLOW_RULES,
+    rules = {"lm": _LM_RULES, "llm": _LM_RULES, "flow": _FLOW_RULES,
              "replicated": []}[kind]
 
     def one(path, leaf):

@@ -47,6 +47,8 @@ class Executor:
                 break
             with self.timer("data"):
                 batch = self.put_batch(batch)
+            if batch is None:  # dropped remainder batch
+                continue
             with self.timer("step"):
                 if self.needs_key:
                     self.key, sub = jax.random.split(self.key)
@@ -70,6 +72,8 @@ class Executor:
             if i >= max_batches:
                 break
             batch = self.put_batch(batch)
+            if batch is None:
+                continue
             if self.needs_key:
                 m = loss_fn(self.state, batch, jax.random.PRNGKey(i))
             else:

@@ -92,6 +92,17 @@ def make_lm_loss_fn(model):
                                 batch["seq_len"], spk)
         return loss, acc
 
+    return loss_fn
+
+
+def make_lm_train_step(model, norm_groups=None):
+    """Returns step(state, batch) -> (state, metrics). batch holds the
+    plan tensors (src_type, tok_id, target, seq_len) + spk_emb or
+    reference_mel."""
+    groups = norm_groups or {"llm": "llm/", "decoder": "llm_decoder",
+                             "speech_emb": "speech_embedding"}
+    loss_fn = make_lm_loss_fn(model)
+
     def step(state: TrainState, batch):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
@@ -104,10 +115,8 @@ def make_lm_loss_fn(model):
     return step
 
 
-def make_flow_train_step(model, norm_groups=None):
-    """batch: token, token_len, feat, feat_len, spk_emb (projected not —
-    raw 192-d embedding); key drives CFM noise/immiscible/CFG dropout."""
-    groups = norm_groups or {"encoder": "encoder", "estimator": "estimator"}
+def make_flow_loss_fn(model):
+    """Shared train/cv loss for the flow stage."""
 
     def loss_fn(params, batch, key):
         variables = {"params": params}
@@ -129,6 +138,15 @@ def make_flow_train_step(model, norm_groups=None):
                            batch["token_len"], batch["feat"],
                            batch["feat_len"], emb, key)
         return loss
+
+    return loss_fn
+
+
+def make_flow_train_step(model, norm_groups=None):
+    """batch: token, token_len, feat, feat_len + embedding or
+    reference_mel; key drives CFM noise/immiscible/CFG dropout."""
+    groups = norm_groups or {"encoder": "encoder", "estimator": "estimator"}
+    loss_fn = make_flow_loss_fn(model)
 
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)

@@ -1,0 +1,51 @@
+"""End-to-end train CLI drive on a synthetic on-disk corpus (tiny, CPU)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_audio
+from tests.test_cli import write_wav
+
+
+def make_corpus(tmp_path, rng, n=6):
+    paths = []
+    for i in range(n):
+        audio = synthetic_audio(rng, 1.2, 24000)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav(p, audio, 24000)
+        (tmp_path / f"utt{i}.txt").write_text(f"synthetic utterance {i}")
+        n_tok = len(audio) // 960
+        np.save(tmp_path / f"utt{i}_fsq.npy",
+                rng.integers(0, 6561, n_tok).astype(np.int32))
+        np.save(tmp_path / f"utt{i}_latent2x.npy",
+                rng.standard_normal((n_tok * 2, 80)).astype(np.float32))
+        paths.append(str(p))
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(paths))
+    return lst
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_kind", ["llm", "flow"])
+def test_train_cli_one_epoch(tmp_path, rng, model_kind):
+    from minimax_speech_tpu.cli import train as train_cli
+    lst = make_corpus(tmp_path, rng)
+    model_dir = tmp_path / f"exp_{model_kind}"
+    train_cli.main([
+        "--model", model_kind, "--config", "configs/tiny.yaml",
+        "--train_data", str(lst), "--cv_data", str(lst),
+        "--model_dir", str(model_dir), "--max_epoch", "1", "--dp", "2",
+        "--override", "train.save_per_step=3",
+        "--override", "train.log_interval=1",
+        "--override", "train.max_frames_in_batch=300",
+    ])
+    metrics_file = model_dir / f"{model_kind}_metrics.jsonl"
+    assert metrics_file.exists()
+    rows = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+    assert any("loss" in r for r in rows)
+    assert any(any(k.startswith("cv/") for k in r) for r in rows)
+    # checkpoint written and resumable
+    ckpts = list((model_dir / "ckpt").iterdir())
+    assert ckpts, "no checkpoint saved"
