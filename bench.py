@@ -35,14 +35,29 @@ def main():
     from minimax_speech_tpu.infer import pipeline as pl
     from minimax_speech_tpu.models import llm as llm_mod
 
+    import dataclasses
+
+    from minimax_speech_tpu.models import qwen2
+
+    # int8 weight-only LM projections + bf16 everything else: the AR
+    # decode is weight-bandwidth-bound, so int8 halves the bytes per step
+    # again over bf16 (accuracy within 5% relative, tests/test_llm.py)
     cfg = pl.TTSConfig(max_speech_tokens=GEN_TOKENS)
+    cfg.lm = dataclasses.replace(
+        cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True))
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
 
-    # bf16 LM weights: the AR decode is HBM-bandwidth-bound; bf16 halves
-    # the bytes per step (RMSNorm/softmax still accumulate in fp32)
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    pipe.lm_vars = to_bf16(pipe.lm_vars)
+    # random int8 kernels so the matmuls stream realistic data
+    rng0 = np.random.default_rng(7)
     pipe.lm_vars = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        lambda x: jnp.asarray(rng0.integers(-127, 128, x.shape, np.int8))
+        if hasattr(x, "dtype") and x.dtype == jnp.int8 else x,
         pipe.lm_vars)
 
     rng = np.random.default_rng(1986)

@@ -206,3 +206,24 @@ def test_legacy_transformer_lm(rng):
                         jnp.zeros((1, 32)), text_tok, jnp.array([4]))
     assert np.isfinite(float(loss))
     assert 0.0 <= float(acc) <= 1.0
+
+
+def test_int8_quantized_qwen_matches_fp32(rng):
+    """Weight-only int8 backbone must track the fp32 one closely."""
+    m32 = qwen2.Qwen2Model(TINY)
+    b, t = 1, 6
+    x = jnp.asarray(rng.standard_normal((b, t, 32)).astype(np.float32) * 0.3)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    bias = qwen2.causal_bias(jnp.ones((b, t), bool))
+    params = m32.init(jax.random.PRNGKey(0), x, positions, bias)
+    ref, _ = m32.apply(params, x, positions, bias)
+
+    import dataclasses
+    qcfg = dataclasses.replace(TINY, quantized=True)
+    mq = qwen2.Qwen2Model(qcfg)
+    qparams = {"params": qwen2.quantize_lm_params(
+        {"llm": params["params"]})["llm"]}
+    out, _ = mq.apply(qparams, x, positions, bias)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.05, f"int8 relative error {rel}"
