@@ -116,9 +116,7 @@ class StreamingSession:
         self.token_hop = token_hop
         self.lookahead = lookahead
         self.overlap_frames = overlap_frames
-        ratio = self.p.cfg.token_latent_ratio
-        sr_per_frame = 480
-        self.overlap_samples = overlap_frames * sr_per_frame
+        self.overlap_samples = overlap_frames * 480  # samples per frame
         self.window = np.hamming(2 * self.overlap_samples)
         self.stream = TokenStream(self.p.lm, self.p.lm_vars,
                                   max_steps=self.p.cfg.max_speech_tokens)
