@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--process_count", type=int, default=None)
     p.add_argument("--random_init", action="store_true",
                    help="random weights (smoke testing without a ckpt)")
+    p.add_argument("--model_version", choices=["v2", "v1_25hz", "v1_50hz"],
+                   default="v2",
+                   help="v2 = FSQ (default); v1 = vanilla VQ at 25/50 Hz")
     return p.parse_args(argv)
 
 
@@ -65,7 +68,12 @@ def main(argv=None):
         else jax.process_count()
 
     files = collect_files(args)[pi::pc]
-    model = s3.S3TokenizerV2()
+    if args.model_version == "v2":
+        model = s3.S3TokenizerV2()
+    else:
+        stride = 2 if args.model_version == "v1_25hz" else 1
+        model = s3.S3TokenizerV1(
+            s3.S3TokenizerConfig(codebook_size=4096), stride=stride)
     if args.ckpt:
         variables = load_params(args.ckpt)
     elif args.random_init:

@@ -89,3 +89,13 @@ def test_hf_config_variant():
     assert cfg.token_latent_ratio == 3
     assert cfg.flow.encoder.num_blocks == 4
     assert cfg.dac.encoder_rates == (2, 3, 4, 4, 5)  # inherited
+
+
+@pytest.mark.slow
+def test_extract_embedding_cli(tmp_path, rng):
+    from minimax_speech_tpu.cli import extract_embedding
+    write_wav(tmp_path / "e0.wav", synthetic_audio(rng, 0.4, 24000), 24000)
+    extract_embedding.main(["--dir", str(tmp_path), "--random_init"])
+    emb = np.load(tmp_path / "e0_spk.npy")
+    assert emb.shape == (192,)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-5)
