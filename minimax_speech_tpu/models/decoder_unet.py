@@ -38,6 +38,10 @@ class DecoderUNetConfig:
     act_fn: str = "gelu"
     static_chunk_size: int = 50  # latent frames (2x token chunk)
     num_left_chunks: int = -1
+    # use the Pallas flash-attention kernel (block-sparse chunk masks)
+    # when shapes tile onto it (T % 128 == 0, head_dim % 128-lane ok);
+    # otherwise fall back to XLA attention transparently
+    use_flash_attention: bool = False
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0
@@ -98,7 +102,7 @@ class UNetTransformerBlock(nn.Module):
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, attn_bias):
+    def __call__(self, x, attn_bias, flash_ctx=None):
         b, t, c = x.shape
         inner = self.num_heads * self.head_dim
         h = nn.LayerNorm(name="norm1")(x)
@@ -108,10 +112,21 @@ class UNetTransformerBlock(nn.Module):
         q = q.reshape(b, t, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_heads, self.head_dim)
         v = v.reshape(b, t, self.num_heads, self.head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.head_dim)
-        scores = scores.astype(jnp.float32) + attn_bias
-        w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, inner)
+        if flash_ctx is not None:
+            from minimax_speech_tpu.kernels.flash_attention import \
+                flash_attention
+            o = flash_attention(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), kv_len=flash_ctx["kv_len"],
+                chunk=flash_ctx["chunk"],
+                left_chunks=flash_ctx["left_chunks"])
+            o = jnp.swapaxes(o, 1, 2).reshape(b, t, inner)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
+                / np.sqrt(self.head_dim)
+            scores = scores.astype(jnp.float32) + attn_bias
+            w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, inner)
         x = x + nn.Dense(c, name="to_out")(o)
 
         h = nn.LayerNorm(name="norm3")(x)
@@ -144,19 +159,28 @@ class CausalConditionalDecoder(nn.Module):
         h = jnp.concatenate(feats, axis=-1)
 
         boolmask = mask > 0
-        if streaming:
-            attn = mask_ops.add_optional_chunk_mask(
-                boolmask, cfg.static_chunk_size, cfg.num_left_chunks)
+        flash_ctx = None
+        if cfg.use_flash_attention and tlen % 128 == 0:
+            flash_ctx = {"kv_len": jnp.sum(boolmask, axis=1,
+                                           dtype=jnp.int32),
+                         "chunk": cfg.static_chunk_size if streaming else 0,
+                         "left_chunks": cfg.num_left_chunks}
+            attn_bias = None
         else:
-            attn = mask_ops.add_optional_chunk_mask(boolmask, 0)
-        attn_bias = mask_ops.mask_to_bias(attn[:, None, :, :], jnp.float32)
+            if streaming:
+                attn = mask_ops.add_optional_chunk_mask(
+                    boolmask, cfg.static_chunk_size, cfg.num_left_chunks)
+            else:
+                attn = mask_ops.add_optional_chunk_mask(boolmask, 0)
+            attn_bias = mask_ops.mask_to_bias(attn[:, None, :, :],
+                                              jnp.float32)
 
         def stage(h, dim, name):
             h = CausalResnetBlock1D(dim, name=f"{name}_resnet")(h, mask, t_emb)
             for j in range(cfg.n_blocks):
                 h = UNetTransformerBlock(
                     cfg.num_heads, cfg.attention_head_dim,
-                    name=f"{name}_tf_{j}")(h, attn_bias)
+                    name=f"{name}_tf_{j}")(h, attn_bias, flash_ctx)
             return h
 
         skips = []

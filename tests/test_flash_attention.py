@@ -43,3 +43,44 @@ def test_flash_matches_reference(case, rng):
         np.testing.assert_allclose(np.asarray(ours)[i, :, :n],
                                    np.asarray(golden)[i, :, :n],
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_unet_flash_attention_matches_dense(rng):
+    """UNet with use_flash_attention must match the dense-bias path
+    (interpret mode on CPU)."""
+    import dataclasses
+    from jax.experimental import pallas as pl
+    from minimax_speech_tpu.models.decoder_unet import (
+        CausalConditionalDecoder, DecoderUNetConfig)
+
+    cfg = DecoderUNetConfig(in_channels=32, out_channels=8, channels=(16,),
+                            attention_head_dim=64, n_blocks=1,
+                            num_mid_blocks=1, num_heads=2,
+                            static_chunk_size=50)
+    t = 128
+    x = jnp.asarray(rng.standard_normal((1, t, 8)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((1, t, 8)), jnp.float32)
+    mask = jnp.asarray((np.arange(t) < 100)[None].astype(np.float32))
+    args = (x, mask, mu, jnp.array([0.4]), jnp.zeros((1, 8)),
+            jnp.zeros((1, t, 8)))
+
+    dense = CausalConditionalDecoder(cfg)
+    params = dense.init(jax.random.PRNGKey(0), *args)
+    golden = dense.apply(params, *args)
+
+    flash_cfg = dataclasses.replace(cfg, use_flash_attention=True)
+    flash_model = CausalConditionalDecoder(flash_cfg)
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    pl.pallas_call = patched
+    try:
+        ours = flash_model.apply(params, *args)
+    finally:
+        pl.pallas_call = orig
+    # compare valid frames only
+    np.testing.assert_allclose(np.asarray(ours)[0, :100],
+                               np.asarray(golden)[0, :100], atol=3e-5)
