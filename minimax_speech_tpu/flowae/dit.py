@@ -63,6 +63,50 @@ class DiTBlock(nn.Module):
         return x
 
 
+class DiT2D(nn.Module):
+    """2-D DiT over (B, H, W, C) images (the reference's image track,
+    flowae/models/networks/dit.py DiT-S/B/L/XL x patch)."""
+    cfg: DiTConfig = DiTConfig()
+
+    @nn.compact
+    def __call__(self, x, t, z_dec: Optional[jnp.ndarray] = None):
+        cfg = self.cfg
+        b, hh, ww, _ = x.shape
+        p = cfg.patch
+        assert hh % p == 0 and ww % p == 0
+        nh, nw = hh // p, ww // p
+        h = x.reshape(b, nh, p, nw, p, x.shape[-1])
+        h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
+            b, nh * nw, p * p * x.shape[-1])
+        h = nn.Dense(cfg.hidden, name="patch_embed")(h)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (1, nh * nw, cfg.hidden))
+        h = h + pos
+
+        c = sinusoidal_pos_emb(t, cfg.hidden, scale=1.0)
+        c = nn.Dense(cfg.hidden, name="t_mlp1")(c)
+        c = nn.Dense(cfg.hidden, name="t_mlp2")(nn.silu(c))
+        if z_dec is not None and cfg.cond_dim > 0:
+            zc = z_dec.reshape(b, -1, z_dec.shape[-1]).mean(axis=1) \
+                if z_dec.ndim > 2 else z_dec
+            c = c + nn.Dense(cfg.hidden, name="cond_proj")(zc)
+
+        for i in range(cfg.depth):
+            h = DiTBlock(cfg.hidden, cfg.num_heads, cfg.mlp_ratio,
+                         name=f"block_{i}")(h, c)
+
+        mods = nn.Dense(2 * cfg.hidden, kernel_init=nn.initializers.zeros,
+                        name="final_adaLN")(nn.silu(c))
+        sh, sc = jnp.split(mods, 2, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, name="final_norm")(h)
+        h = h * (1 + sc[:, None]) + sh[:, None]
+        h = nn.Dense(p * p * cfg.out_channels,
+                     kernel_init=nn.initializers.zeros, name="final_proj")(h)
+        h = h.reshape(b, nh, nw, p, p, cfg.out_channels)
+        return jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
+            b, hh, ww, cfg.out_channels)
+
+
 class DiT1D(nn.Module):
     """1-D DiT over (B, T, in_channels) signals."""
     cfg: DiTConfig = DiTConfig()

@@ -127,9 +127,11 @@ class TTS:
                     yield {"tts_speech": wav[None, :]}
                     start = time.time()
             else:
-                wav = p.synthesize(text_tokens, info["prompt_text_tokens"],
-                                   info["prompt_tokens"], info["prompt_feat"],
-                                   info["lm_spk"], info["flow_emb"], key=key)
+                # fused single-dispatch path (LM+flow+vocoder in one program)
+                wav = p.synthesize_fused(
+                    text_tokens, info["prompt_text_tokens"],
+                    info["prompt_tokens"], info["prompt_feat"],
+                    info["lm_spk"], info["flow_emb"], key=key)
                 wav = _speed_change(wav, speed)
                 dur = len(wav) / self.sample_rate
                 logging.info("yield speech len %.2f, rtf %.4f", dur,

@@ -128,3 +128,16 @@ def test_glpto_roundtrip_and_steps(rng):
     assert np.isfinite(float(gm["gen/loss"]))
     assert np.isfinite(float(dm["disc/loss"]))
     assert float(gm["gen/adaptive_w"]) >= 0
+
+
+def test_dit2d_shapes(rng):
+    from minimax_speech_tpu.flowae.dit import DiT2D, DiTConfig
+    cfg = DiTConfig(hidden=32, depth=1, num_heads=2, patch=4, in_channels=3,
+                    out_channels=3, cond_dim=6)
+    m = DiT2D(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x, jnp.array([0.2, 0.8]), z)
+    out = m.apply(params, x, jnp.array([0.2, 0.8]), z)
+    assert out.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out), 0.0)  # adaLN-zero init
