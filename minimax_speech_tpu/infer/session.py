@@ -120,6 +120,14 @@ class StreamingSession:
         self.window = np.hamming(2 * self.overlap_samples)
         self.stream = TokenStream(self.p.lm, self.p.lm_vars,
                                   max_steps=self.p.cfg.max_speech_tokens)
+        if self.p.cfg.output_type == "mel":
+            # HiFT keeps NSF source continuity across chunks via a spliced
+            # source cache (reference: cli/model.py:285-319 + hift
+            # generator.py:570-582); decode therefore re-runs the full mel
+            # prefix each hop, like the reference's token2wav
+            self._hift = jax.jit(
+                lambda v, mel, src: self.p.hift.apply(v, mel,
+                                                      cache_source=src))
 
     def synthesize_stream(self, text_tokens, prompt_text_tokens,
                           prompt_speech_tokens, prompt_feat, lm_spk,
@@ -135,6 +143,7 @@ class StreamingSession:
         max_len = min(int(n_text * cfg.max_token_text_ratio),
                       cfg.max_speech_tokens)
 
+        self._src_cache = None        # per-utterance HiFT source cache
         tokens: list[int] = []
         emitted_frames = 0            # latent frames already turned into audio
         prev_tail: Optional[np.ndarray] = None  # held-back overlap audio
@@ -164,8 +173,19 @@ class StreamingSession:
                     break
                 pending -= self.token_hop
                 continue
-            wav = np.asarray(self.p._decode(
-                self.p.codec_vars, jnp.asarray(chunk[None]))).reshape(-1)
+            if self.p.cfg.output_type == "mel":
+                # full-prefix HiFT decode with source splice, then take the
+                # samples belonging to the new frames
+                if self._src_cache is None:
+                    self._src_cache = jnp.zeros((1, 0, 1))
+                wav_full, src = self._hift(self.p.codec_vars,
+                                           jnp.asarray(feat[None]),
+                                           self._src_cache)
+                self._src_cache = None if finalize else src
+                wav = np.asarray(wav_full).reshape(-1)[emitted_frames * 480:]
+            else:
+                wav = np.asarray(self.p._decode(
+                    self.p.codec_vars, jnp.asarray(chunk[None]))).reshape(-1)
             if prev_tail is not None and len(wav) >= self.overlap_samples:
                 wav = fade_in_out(wav, prev_tail, self.window)
             if not finalize:

@@ -71,3 +71,37 @@ def test_streaming_session(rng):
     expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
                      - prompt_latent.shape[0])
     assert len(total) == expect_frames * 480
+
+
+@pytest.mark.slow
+def test_streaming_session_mel_mode(rng):
+    """mel output: HiFT decode with spliced source cache across hops."""
+    cfg = tiny_cfg()
+    cfg.output_type = "mel"
+    cfg.max_speech_tokens = 24
+    import dataclasses
+    from minimax_speech_tpu.models.hifigan import HiFTConfig
+    cfg.hift = HiFTConfig(in_channels=80, base_channels=32,
+                          upsample_rates=(8, 5, 3),
+                          upsample_kernel_sizes=(16, 11, 7),
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilations=((1,),),
+                          source_resblock_kernel_sizes=(3, 3, 3),
+                          source_resblock_dilations=((1,), (1,), (1,)),
+                          f0_cond_channels=16)
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+    prompt_16k = synthetic_audio(rng, 0.4, sr=16000)
+    prompt_24k = synthetic_audio(rng, 0.4, sr=24000)
+    prompt_tokens = pipe.extract_prompt_tokens(prompt_16k)
+    prompt_mel = pipe.extract_prompt_mel(prompt_24k)
+    lm_spk, flow_emb = pipe.speaker_embedding(prompt_mel)
+    sess = StreamingSession(pipe, token_hop=6, lookahead=3, overlap_frames=2)
+    chunks = list(sess.synthesize_stream(
+        rng.integers(0, 256, 4), rng.integers(0, 256, 2), prompt_tokens,
+        prompt_mel, lm_spk, flow_emb, key=jax.random.PRNGKey(3)))
+    assert chunks and chunks[-1].final
+    total = np.concatenate([c.audio for c in chunks])
+    assert np.isfinite(total).all()
+    expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
+                     - prompt_mel.shape[0])
+    assert len(total) == expect_frames * 480

@@ -105,3 +105,45 @@ def test_executor_and_checkpoint(rng, tmp_path):
     p1 = jax.tree_util.tree_leaves(state.params)[0]
     p2 = jax.tree_util.tree_leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_sharded_checkpoint_roundtrip(rng, tmp_path):
+    """Orbax must save/restore a TP-sharded TrainState on the mesh."""
+    mesh = mesh_lib.make_mesh(dp=4, tp=2)
+    model = llm_mod.SpeechLM(SMALL_LM)
+    variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1)
+    state = steps.make_train_state(variables["params"], tx, mesh, kind="lm")
+    step = steps.jit_step(steps.make_lm_train_step(model))
+    batch = jax.device_put(lm_batch(rng, b=8), mesh_lib.batch_sharding(mesh))
+    state, _ = step(state, batch)
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, state)
+    ckpt.wait()
+    state2 = steps.make_train_state(variables["params"], tx, mesh, kind="lm")
+    state2, restored = ckpt.restore(state2)
+    assert restored == 1
+    q1 = state.params["llm"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    q2 = state2.params["llm"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))
+    # sharding preserved on restore target
+    assert "tp" in str(q2.sharding.spec)
+
+
+def test_grad_accumulation(rng):
+    """optax.MultiSteps: params only change every accum_steps updates and
+    match a single big-batch step."""
+    model = llm_mod.SpeechLM(SMALL_LM)
+    variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1, accum_steps=2)
+    state = steps.make_train_state(variables["params"], tx)
+    step = steps.jit_step(steps.make_lm_train_step(model))
+    batch = lm_batch(rng)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state, _ = step(state, batch)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
+    state, _ = step(state, batch)
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.abs(p2 - p0).max() > 0  # update applied after 2 micro-steps
