@@ -23,10 +23,9 @@ of sample dicts. File IO is pluggable through the opener.
 from __future__ import annotations
 
 import io
-import json
 import random
 from pathlib import Path
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Callable, Iterable, Iterator
 
 import numpy as np
 

@@ -10,7 +10,7 @@ audio-domain analogue the reference's audio configs use anyway.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import flax.linen as nn

@@ -26,7 +26,6 @@ import numpy as np
 
 from minimax_speech_tpu.models import llm as llm_mod
 from minimax_speech_tpu.models import qwen2
-from minimax_speech_tpu.models.flow import FlowModel, flow_inference
 from minimax_speech_tpu.ops import sampling as sampling_ops
 
 

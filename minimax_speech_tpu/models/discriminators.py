@@ -15,8 +15,7 @@ feature-last (NHWC for 2D), the STFT frontends reuse ops/mel.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

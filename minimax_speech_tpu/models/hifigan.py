@@ -12,7 +12,7 @@ voiced-only sine (useful for tests and reproducible synthesis).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -9,7 +9,7 @@ and the v1 model family. Shares the plan-based batch layout.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

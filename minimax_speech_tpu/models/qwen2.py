@@ -18,7 +18,7 @@ static shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minimax_speech_tpu.models import conformer as cf
-from minimax_speech_tpu.ops import interpolate, masks as mask_ops
+from minimax_speech_tpu.ops import masks as mask_ops
 
 
 @dataclass(frozen=True)

@@ -14,7 +14,6 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from minimax_speech_tpu.train.checkpoint import CheckpointManager

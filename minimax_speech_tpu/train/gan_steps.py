@@ -15,8 +15,7 @@ is preserved by the caller.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

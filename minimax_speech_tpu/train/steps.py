@@ -14,14 +14,12 @@ from the grad pytree at negligible cost.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from minimax_speech_tpu.parallel import mesh as mesh_lib
 

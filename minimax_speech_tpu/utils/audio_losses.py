@@ -6,7 +6,6 @@ n_mels [5..320] over windows [32..2048], hop = window/4.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import contextlib
 import json
 import time
 from pathlib import Path
-from typing import Optional
 
 import jax
 

@@ -6,7 +6,6 @@ landing format for converted reference checkpoints.
 """
 from __future__ import annotations
 
-from pathlib import Path
 
 import jax
 import numpy as np
