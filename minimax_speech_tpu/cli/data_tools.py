@@ -136,6 +136,28 @@ def make_parquet(args):
     print(f"wrote {len(shard_paths)} shards -> {out_dir}")
 
 
+def manifest(args):
+    """Kaldi-style wav.scp + text manifests (reference:
+    speech/local/prepare_data.py LibriTTS recipe)."""
+    files = sorted(Path(args.dir).rglob("*.wav"))
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    scp, txt = [], []
+    for f in files:
+        utt = f.stem
+        t = f.with_suffix(".txt")
+        alt = f.with_suffix(".normalized.txt")
+        text = (t.read_text().strip() if t.exists()
+                else alt.read_text().strip() if alt.exists() else None)
+        if text is None:
+            continue
+        scp.append(f"{utt} {f}")
+        txt.append(f"{utt} {text}")
+    (out / "wav.scp").write_text("\n".join(scp) + "\n")
+    (out / "text").write_text("\n".join(txt) + "\n")
+    print(f"wrote {len(scp)} entries -> {out}/wav.scp, {out}/text")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,9 +175,13 @@ def main(argv=None):
     m.add_argument("--list", required=True)
     m.add_argument("--out_dir", required=True)
     m.add_argument("--per_shard", type=int, default=500)
+    k = sub.add_parser("manifest")
+    k.add_argument("--dir", required=True)
+    k.add_argument("--out_dir", required=True)
     args = p.parse_args(argv)
     return {"create_list": create_list, "validate": validate,
-            "index": index, "make_parquet": make_parquet}[args.cmd](args)
+            "index": index, "make_parquet": make_parquet,
+            "manifest": manifest}[args.cmd](args)
 
 
 if __name__ == "__main__":

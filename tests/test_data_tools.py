@@ -71,3 +71,30 @@ def test_yin_f0_on_sine():
     # silence is unvoiced
     f0s = yin_f0(np.zeros(sr, np.float32), sr)
     assert (f0s == 0).all()
+
+
+def test_manifest_and_card(tmp_path, rng):
+    make_corpus(tmp_path, rng, 2)
+    data_tools.main(["manifest", "--dir", str(tmp_path),
+                     "--out_dir", str(tmp_path / "m")])
+    scp = (tmp_path / "m" / "wav.scp").read_text().strip().splitlines()
+    txt = (tmp_path / "m" / "text").read_text().strip().splitlines()
+    assert len(scp) == len(txt) == 2
+    assert txt[0].startswith("u0 utterance")
+
+    from minimax_speech_tpu.cli import hub_tools
+    hub_tools.main(["card", "--model_dir", str(tmp_path)])
+    card = (tmp_path / "README.md").read_text()
+    assert "minimax_speech_tpu" in card and "u0.wav" in card
+
+
+def test_audio_folder(tmp_path, rng):
+    from minimax_speech_tpu.data.audio_folder import AudioFolder
+    make_corpus(tmp_path, rng, 3)
+    ds = AudioFolder(str(tmp_path), duration=0.2, sample_rate=24000)
+    assert len(ds) == 3
+    batch = ds.sample_batch(4)
+    assert batch.shape == (4, 4800)
+    assert np.abs(batch).max() <= 1.0
+    it = ds.infinite_batches(2)
+    assert next(it).shape == (2, 4800)
