@@ -34,6 +34,14 @@ class DACVAEConfig:
     sample_rate: int = 24000
     use_tanh_final: bool = True
 
+    def __post_init__(self):
+        halvings = 2 ** len(self.decoder_rates)
+        if self.decoder_dim // halvings < 1:
+            raise ValueError(
+                f"decoder_dim={self.decoder_dim} too small: it halves per "
+                f"decoder block and must stay >= 1 after "
+                f"{len(self.decoder_rates)} blocks")
+
     @property
     def hop_length(self) -> int:
         return int(np.prod(self.encoder_rates))

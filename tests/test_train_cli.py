@@ -49,3 +49,25 @@ def test_train_cli_one_epoch(tmp_path, rng, model_kind):
     # checkpoint written and resumable
     ckpts = list((model_dir / "ckpt").iterdir())
     assert ckpts, "no checkpoint saved"
+
+
+@pytest.mark.slow
+def test_train_dac_cli_smoke(tmp_path, rng):
+    from minimax_speech_tpu.cli import train_dac
+    for i in range(3):
+        write_wav(tmp_path / f"w{i}.wav", synthetic_audio(rng, 0.6, 24000),
+                  24000)
+    model_dir = tmp_path / "exp_dac"
+    train_dac.main([
+        "--train_folders", str(tmp_path), "--model_dir", str(model_dir),
+        "--config", "configs/tiny.yaml", "--batch_size", "2",
+        "--duration", "0.1", "--num_iters", "3", "--save_iters", "2",
+        "--sample_freq", "2", "--log_interval", "1",
+        "--override", "model.dac.encoder_dim=4",
+        "--override", "model.dac.decoder_dim=64"])
+    metrics = (model_dir / "dac_metrics.jsonl").read_text().splitlines()
+    assert metrics
+    import json
+    row = json.loads(metrics[-1])
+    assert "gen/loss" in row and "disc/loss" in row
+    assert list(model_dir.glob("sample_*.npy"))
