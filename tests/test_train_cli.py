@@ -71,3 +71,22 @@ def test_train_dac_cli_smoke(tmp_path, rng):
     row = json.loads(metrics[-1])
     assert "gen/loss" in row and "disc/loss" in row
     assert list(model_dir.glob("sample_*.npy"))
+
+
+@pytest.mark.slow
+def test_train_hift_cli_smoke(tmp_path, rng):
+    from minimax_speech_tpu.cli import train_hift
+    for i in range(2):
+        write_wav(tmp_path / f"h{i}.wav", synthetic_audio(rng, 0.8, 24000),
+                  24000)
+    model_dir = tmp_path / "exp_hift"
+    train_hift.main([
+        "--train_folders", str(tmp_path), "--model_dir", str(model_dir),
+        "--config", "configs/tiny.yaml", "--batch_size", "1",
+        "--duration", "0.2", "--num_iters", "2", "--save_iters", "2",
+        "--log_interval", "1", "--with_pitch",
+        "--override", "model.hift.base_channels=32"])
+    metrics = (model_dir / "hift_metrics.jsonl").read_text().splitlines()
+    import json
+    row = json.loads(metrics[-1])
+    assert "gen/loss" in row and "gen/mel" in row and "disc/loss" in row
