@@ -32,6 +32,8 @@ def parse_args(argv=None):
                    help="data-parallel extent (default: n_devices // tp)")
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward (fp32 optimizer)")
     return p.parse_args(argv)
 
 
@@ -93,14 +95,14 @@ def main(argv=None):
         variables = (load_params(args.init_ckpt) if args.init_ckpt
                      else jax.jit(llm_mod.init_lm_variables,
                                   static_argnums=0)(model, key))
-        step_fn = steps.make_lm_train_step(model)
+        step_fn = steps.make_lm_train_step(model, bf16=args.bf16)
         needs_key = False
     else:
         model = FlowModel(tts_cfg.flow)
         variables = (load_params(args.init_ckpt) if args.init_ckpt
                      else jax.jit(init_flow_variables,
                                   static_argnums=0)(model, key))
-        step_fn = steps.make_flow_train_step(model)
+        step_fn = steps.make_flow_train_step(model, bf16=args.bf16)
         needs_key = True
 
     tx = schedule.make_optimizer(

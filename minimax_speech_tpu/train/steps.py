@@ -68,10 +68,25 @@ def grad_norms_by_component(grads, groups: dict[str, str]):
     return out
 
 
-def make_lm_loss_fn(model):
-    """Shared train/cv loss: plan CE+acc with in-step speaker encoding."""
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def make_lm_loss_fn(model, bf16: bool = False):
+    """Shared train/cv loss: plan CE+acc with in-step speaker encoding.
+
+    bf16=True runs the forward/backward in bfloat16 (params stay fp32 in
+    the optimizer; norms/softmax still accumulate fp32 inside the
+    modules) — the flowae trainer's autocast equivalent
+    (reference: flowae/trainers/audio_ldm_trainer.py:56-137)."""
 
     def loss_fn(params, batch):
+        if bf16:
+            params = _cast_floats(params, jnp.bfloat16)
+            batch = _cast_floats(batch, jnp.bfloat16)
         variables = {"params": params}
         if "reference_mel" in batch:
             # speaker encoder trains jointly with the LM (the reference
@@ -93,13 +108,13 @@ def make_lm_loss_fn(model):
     return loss_fn
 
 
-def make_lm_train_step(model, norm_groups=None):
+def make_lm_train_step(model, norm_groups=None, bf16: bool = False):
     """Returns step(state, batch) -> (state, metrics). batch holds the
     plan tensors (src_type, tok_id, target, seq_len) + spk_emb or
     reference_mel."""
     groups = norm_groups or {"llm": "llm/", "decoder": "llm_decoder",
                              "speech_emb": "speech_embedding"}
-    loss_fn = make_lm_loss_fn(model)
+    loss_fn = make_lm_loss_fn(model, bf16=bf16)
 
     def step(state: TrainState, batch):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -113,10 +128,13 @@ def make_lm_train_step(model, norm_groups=None):
     return step
 
 
-def make_flow_loss_fn(model):
+def make_flow_loss_fn(model, bf16: bool = False):
     """Shared train/cv loss for the flow stage."""
 
     def loss_fn(params, batch, key):
+        if bf16:
+            params = _cast_floats(params, jnp.bfloat16)
+            batch = _cast_floats(batch, jnp.bfloat16)
         variables = {"params": params}
         if "reference_mel" in batch:
             mask = None
@@ -140,11 +158,11 @@ def make_flow_loss_fn(model):
     return loss_fn
 
 
-def make_flow_train_step(model, norm_groups=None):
+def make_flow_train_step(model, norm_groups=None, bf16: bool = False):
     """batch: token, token_len, feat, feat_len + embedding or
     reference_mel; key drives CFM noise/immiscible/CFG dropout."""
     groups = norm_groups or {"encoder": "encoder", "estimator": "estimator"}
-    loss_fn = make_flow_loss_fn(model)
+    loss_fn = make_flow_loss_fn(model, bf16=bf16)
 
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)

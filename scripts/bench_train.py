@@ -1,0 +1,111 @@
+"""Training-step throughput benchmark on one chip (production geometry).
+
+The reference's headline performance numbers are training wall-clocks
+(TRAINING_GUIDE.md:215-217: LLM stage 2-3 d on 1x4090 / 6-8 h on
+8xA100). This measures our per-step time and derived throughput so those
+can be compared directly:
+
+  PYTHONPATH=. python scripts/bench_train.py [--stage llm|flow|both]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np
+
+
+def bench_llm(batch, seq):
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.models import llm as llm_mod
+    from minimax_speech_tpu.train import schedule, steps
+
+    cfg = llm_mod.LMConfig()
+    model = llm_mod.SpeechLM(cfg)
+    variables = jax.jit(llm_mod.init_lm_variables,
+                        static_argnums=0)(model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=5e-5, warmup_steps=500)
+    state = steps.make_train_state(variables["params"], tx)
+    step = steps.jit_step(steps.make_lm_train_step(model))
+
+    rng = np.random.default_rng(0)
+    plan = llm_mod.build_lm_plan(
+        [rng.integers(0, 150000, 20) for _ in range(batch)],
+        [rng.integers(0, 6561, seq - 30) for _ in range(batch)],
+        bistream_flags=[False] * batch, pad_to=seq)
+    b = {k: np.asarray(v) for k, v in plan.items()}
+    b["spk_emb"] = np.zeros((batch, cfg.llm_input_size), np.float32)
+    import jax.numpy as jnp
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+
+    state, m = step(state, b)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        state, m = step(state, b)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    toks = batch * seq
+    print(f"llm train step: batch={batch} seq={seq} -> {dt * 1e3:.1f} ms/step,"
+          f" {toks / dt / 1e3:.1f}k tokens/s", flush=True)
+    return dt, toks
+
+
+def bench_flow(batch, tokens):
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.models.flow import (FlowConfig, FlowModel,
+                                                init_flow_variables)
+    from minimax_speech_tpu.train import schedule, steps
+
+    cfg = FlowConfig()
+    model = FlowModel(cfg)
+    variables = jax.jit(init_flow_variables, static_argnums=0)(
+        model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=5e-5, warmup_steps=500)
+    state = steps.make_train_state(variables["params"], tx)
+    step = steps.jit_step(steps.make_flow_train_step(model))
+
+    rng = np.random.default_rng(0)
+    b = {"token": jnp.asarray(rng.integers(0, 6561, (batch, tokens))),
+         "token_len": jnp.full((batch,), tokens, np.int32),
+         "feat": jnp.asarray(rng.standard_normal(
+             (batch, tokens * 2, 80)).astype(np.float32)),
+         "feat_len": jnp.full((batch,), tokens * 2, np.int32),
+         "embedding": jnp.zeros((batch, cfg.spk_embed_dim))}
+    state, m = step(state, b, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        state, m = step(state, b, jax.random.PRNGKey(2))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    frames = batch * tokens * 2
+    audio_s = frames / 50.0
+    print(f"flow train step: batch={batch} tokens={tokens} -> "
+          f"{dt * 1e3:.1f} ms/step, {frames / dt / 1e3:.1f}k frames/s "
+          f"({audio_s / dt:.0f}x realtime audio consumption)", flush=True)
+    return dt, frames
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="both", choices=["llm", "flow", "both"])
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seq", type=int, default=512)
+    args = p.parse_args()
+    if args.stage in ("llm", "both"):
+        bench_llm(args.batch, args.seq)
+    if args.stage in ("flow", "both"):
+        bench_flow(args.batch, 250)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,25 @@ def test_grad_accumulation(rng):
     state, _ = step(state, batch)
     p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert np.abs(p2 - p0).max() > 0  # update applied after 2 micro-steps
+
+
+def test_bf16_training_step(rng):
+    """bf16 compute path: grads/params stay fp32 in the optimizer, loss
+    tracks the fp32 loss."""
+    model = llm_mod.SpeechLM(SMALL_LM)
+    variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1)
+    batch = lm_batch(rng)
+    # copy params per state: jit_step donates its state argument
+    params_a = jax.tree_util.tree_map(jnp.array, variables["params"])
+    params_b = jax.tree_util.tree_map(jnp.array, variables["params"])
+    s32 = steps.make_train_state(params_a, tx)
+    step32 = steps.jit_step(steps.make_lm_train_step(model))
+    _, m32 = step32(s32, batch)
+
+    s16 = steps.make_train_state(params_b, tx)
+    step16 = steps.jit_step(steps.make_lm_train_step(model, bf16=True))
+    s16, m16 = step16(s16, batch)
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.1
+    leaf = jax.tree_util.tree_leaves(s16.params)[0]
+    assert leaf.dtype == jnp.float32
