@@ -41,6 +41,7 @@ class Qwen2Config:
     rms_eps: float = 1e-6
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 weight-only projections (decode path)
+    remat: bool = False      # jax.checkpoint each layer (training memory)
 
 
 class QuantDense(nn.Module):
@@ -202,11 +203,16 @@ class Qwen2Model(nn.Module):
         """cache: optional (k, v) each (n_layers, B, max_len, n_kv, d)."""
         x = inputs_embeds
         new_k, new_v = [], []
+        # remat trades recompute for activation memory on the training
+        # path (no cache); decode keeps the plain layer
+        layer_cls = Qwen2Layer
+        if self.cfg.remat and cache is None:
+            layer_cls = nn.remat(Qwen2Layer, static_argnums=(4, 5))
         for i in range(self.cfg.n_layers):
             layer_cache = None
             if cache is not None:
                 layer_cache = (cache[0][i], cache[1][i])
-            x, nc = Qwen2Layer(self.cfg, name=f"layers_{i}")(
+            x, nc = layer_cls(self.cfg, name=f"layers_{i}")(
                 x, positions, attn_bias, layer_cache, cache_offset)
             if nc is not None:
                 new_k.append(nc[0])

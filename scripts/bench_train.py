@@ -17,20 +17,24 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np
 
 
-def bench_llm(batch, seq):
+def bench_llm(batch, seq, bf16=False, remat=False):
     import jax
     import jax.numpy as jnp
 
     from minimax_speech_tpu.models import llm as llm_mod
     from minimax_speech_tpu.train import schedule, steps
 
+    import dataclasses
     cfg = llm_mod.LMConfig()
+    if remat:
+        cfg = dataclasses.replace(
+            cfg, qwen=dataclasses.replace(cfg.qwen, remat=True))
     model = llm_mod.SpeechLM(cfg)
     variables = jax.jit(llm_mod.init_lm_variables,
                         static_argnums=0)(model, jax.random.PRNGKey(0))
     tx = schedule.make_optimizer(lr=5e-5, warmup_steps=500)
     state = steps.make_train_state(variables["params"], tx)
-    step = steps.jit_step(steps.make_lm_train_step(model))
+    step = steps.jit_step(steps.make_lm_train_step(model, bf16=bf16))
 
     rng = np.random.default_rng(0)
     plan = llm_mod.build_lm_plan(
@@ -51,7 +55,7 @@ def bench_llm(batch, seq):
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n
     toks = batch * seq
-    print(f"llm train step: batch={batch} seq={seq} -> {dt * 1e3:.1f} ms/step,"
+    print(f"llm train step: batch={batch} seq={seq} bf16={bf16} remat={remat} -> {dt * 1e3:.1f} ms/step,"
           f" {toks / dt / 1e3:.1f}k tokens/s", flush=True)
     return dt, toks
 
@@ -100,9 +104,11 @@ def main():
     p.add_argument("--stage", default="both", choices=["llm", "flow", "both"])
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
     if args.stage in ("llm", "both"):
-        bench_llm(args.batch, args.seq)
+        bench_llm(args.batch, args.seq, args.bf16, args.remat)
     if args.stage in ("flow", "both"):
         bench_flow(args.batch, 250)
 
