@@ -1,0 +1,219 @@
+"""Batched streaming serving: N concurrent streaming sessions in lockstep.
+
+Combines the streaming session's 25-token-hop contract (infer/session.py)
+with batched decoding (infer/serving.py): one batched prefill + one
+batched single-token step per decode tick, one batched flow+vocoder call
+per hop. Streams finish independently (EOS tracked per sample); audio
+chunks are emitted per stream with crossfaded boundaries.
+
+This is the streaming face of the vLLM-replacement story: the AR decode
+is weight-streaming-bound, so stepping B streams costs roughly the same
+as one.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimax_speech_tpu.infer.pipeline import next_bucket
+from minimax_speech_tpu.infer.serving import Request
+from minimax_speech_tpu.infer.session import fade_in_out
+from minimax_speech_tpu.models import llm as llm_mod
+from minimax_speech_tpu.models import qwen2
+from minimax_speech_tpu.models.flow import flow_inference_batched
+from minimax_speech_tpu.ops import sampling as sampling_ops
+
+
+@dataclass
+class StreamEvent:
+    stream: int
+    audio: np.ndarray
+    tokens: int
+    final: bool
+
+
+@dataclass
+class _StreamState:
+    tokens: list = field(default_factory=list)
+    emitted_frames: int = 0
+    prev_tail: Optional[np.ndarray] = None
+    pending: int = 0
+    done: bool = False
+    flushed: bool = False
+
+
+class BatchStreamingSession:
+    def __init__(self, pipeline, token_hop: int = 25, lookahead: int = 3,
+                 overlap_frames: int = 8):
+        self.p = pipeline
+        self.token_hop = token_hop
+        self.lookahead = lookahead
+        self.overlap_frames = overlap_frames
+        self.overlap_samples = overlap_frames * 480
+        self.window = np.hamming(2 * self.overlap_samples)
+        m = pipeline.lm
+        self._prefill = jax.jit(partial(m.apply,
+                                        method=llm_mod.SpeechLM.prefill))
+        self._step = jax.jit(partial(m.apply,
+                                     method=llm_mod.SpeechLM.decode_step))
+        self._embed_plan = jax.jit(partial(
+            m.apply, method=llm_mod.SpeechLM.embed_plan))
+        self._embed_tok = jax.jit(partial(
+            m.apply, method=llm_mod.SpeechLM.embed_speech_token))
+        self._decoder = jax.jit(
+            lambda v, h: m.apply(v, h, method=lambda mm, x: mm.llm_decoder(x)))
+        self._flow_batched = jax.jit(
+            lambda v, tok, tl, pf, pfl, emb, nz: flow_inference_batched(
+                self.p.flow, v, tok, tl, pf, pfl, emb, nz, streaming=True))
+
+    def run(self, requests: Sequence[Request], key=None
+            ) -> Iterator[StreamEvent]:
+        cfg = self.p.cfg
+        b = len(requests)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        v = self.p.lm_vars
+        eos = cfg.lm.eos_token
+
+        plans = [llm_mod.build_inference_plan(
+            np.concatenate([r.prompt_text_tokens, r.text_tokens]),
+            r.prompt_speech_tokens, use_spk=cfg.lm.use_speaker_encoder)
+            for r in requests]
+        p_max = next_bucket(max(pl[0].shape[1] for pl in plans))
+        src = np.zeros((b, p_max), np.int32)
+        tok = np.zeros((b, p_max), np.int32)
+        plen = np.zeros((b,), np.int32)
+        for i, (s, t_, n) in enumerate(plans):
+            src[i, : s.shape[1]] = s[0]
+            tok[i, : t_.shape[1]] = t_[0]
+            plen[i] = n[0]
+        spk = jnp.asarray(np.stack([r.lm_spk for r in requests]))
+        min_len = np.array([int(len(r.text_tokens)
+                                * cfg.min_token_text_ratio)
+                            for r in requests])
+        max_len = np.array([min(int(len(r.text_tokens)
+                                    * cfg.max_token_text_ratio),
+                                cfg.max_speech_tokens) for r in requests])
+
+        emb = self._embed_plan(v, jnp.asarray(src), jnp.asarray(tok), spk)
+        max_steps = cfg.max_speech_tokens
+        cache = qwen2.make_cache(cfg.lm.qwen, b, p_max + max_steps, emb.dtype)
+        pad = jnp.arange(p_max)[None] < jnp.asarray(plen)[:, None]
+        positions = jnp.broadcast_to(jnp.arange(p_max)[None], (b, p_max))
+        hidden, cache = self._prefill(v, emb, pad, positions, cache)
+        last = jnp.take_along_axis(
+            hidden, jnp.asarray(plen - 1)[:, None, None], axis=1)[:, 0]
+        logits = self._decoder(v, last)
+        valid = jnp.concatenate([pad, jnp.zeros((b, max_steps), bool)], 1)
+        recent = jnp.full((b, cfg.lm.ras_win), -1, jnp.int32)
+
+        states = [_StreamState() for _ in range(b)]
+
+        # prompt features for the flow stage (padded once)
+        pf_max = next_bucket(max(r.prompt_feat.shape[0] for r in requests),
+                             buckets=(16, 32, 64, 128, 256))
+        pf = np.zeros((b, pf_max, cfg.flow.output_size), np.float32)
+        pfl = np.zeros((b,), np.int32)
+        for i, r in enumerate(requests):
+            pf[i, : r.prompt_feat.shape[0]] = r.prompt_feat
+            pfl[i] = r.prompt_feat.shape[0]
+        femb = jnp.asarray(np.stack([r.flow_emb for r in requests]))
+
+        for step_i in range(max_steps):
+            if all(s.done for s in states):
+                break
+            key, k1 = jax.random.split(key)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            ids = jnp.arange(logp.shape[-1])
+            counts = np.array([len(s.tokens) for s in states])
+            logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
+            allow = jnp.asarray(counts >= min_len)
+            logp = jnp.where((ids[None] == eos) & ~allow[:, None],
+                             -jnp.inf, logp)
+            keys = jax.random.split(k1, b)
+            toks = jax.vmap(lambda kk, lp, rc: sampling_ops.ras_sample(
+                kk, lp, rc, cfg.lm.top_p, cfg.lm.top_k, cfg.lm.ras_win,
+                cfg.lm.ras_tau))(keys, logp, recent)
+            toks_np = np.asarray(toks)
+            for i, s in enumerate(states):
+                if s.done:
+                    continue
+                if toks_np[i] == eos or len(s.tokens) >= max_len[i]:
+                    s.done = True
+                else:
+                    s.tokens.append(int(toks_np[i]))
+                    s.pending += 1
+            recent = jnp.where(
+                jnp.asarray([s.done for s in states])[:, None],
+                recent,
+                jnp.concatenate([recent[:, 1:], toks[:, None]], axis=1))
+
+            # hop when every ACTIVE stream is ready (lockstep batching)
+            active = [s for s in states if not s.done and not s.flushed]
+            ready = all(s.pending >= self.token_hop + self.lookahead
+                        for s in active) and active
+            finals = [s for s in states if s.done and not s.flushed
+                      and s.tokens]
+            if ready or finals:
+                yield from self._hop(states, requests, pf, pfl, femb)
+
+            emb1 = self._embed_tok(
+                v, jnp.clip(toks, 0, eos - 1)[:, None])
+            pos = jnp.asarray(plen + step_i)
+            logits, cache, valid = self._step(v, emb1, pos, valid, cache,
+                                              p_max + step_i)
+
+        # flush everything that still has audio pending
+        for s in states:
+            s.done = True
+        yield from self._hop(states, requests, pf, pfl, femb)
+
+    def _hop(self, states, requests, pf, pfl, femb):
+        cfg = self.p.cfg
+        idxs = [i for i, s in enumerate(states)
+                if s.tokens and not s.flushed
+                and (s.done or s.pending >= self.token_hop + self.lookahead)]
+        if not idxs:
+            return
+        seqs = []
+        for i in idxs:
+            seqs.append(np.concatenate([requests[i].prompt_speech_tokens,
+                                        np.asarray(states[i].tokens)]))
+        t_max = next_bucket(max(len(q) for q in seqs))
+        tok_b = np.zeros((len(idxs), t_max), np.int32)
+        tls = np.zeros((len(idxs),), np.int32)
+        for j, q in enumerate(seqs):
+            tok_b[j, : len(q)] = q
+            tls[j] = len(q)
+        feat = self._flow_batched(
+            self.p.flow_vars, jnp.asarray(tok_b), jnp.asarray(tls),
+            jnp.asarray(pf[idxs]), jnp.asarray(pfl[idxs]), femb[jnp.asarray(idxs)],
+            self.p.noise)
+        wav_all = np.asarray(self.p._decode(self.p.codec_vars, feat))
+
+        for j, i in enumerate(idxs):
+            s = states[i]
+            body_tokens = len(states[i].tokens) - (
+                0 if s.done else self.lookahead)
+            lo_frame = int(pfl[i]) + s.emitted_frames
+            hi_frame = int(pfl[i]) + body_tokens * cfg.token_latent_ratio
+            if hi_frame <= lo_frame:
+                continue
+            wav = wav_all[j, lo_frame * 480: hi_frame * 480].reshape(-1)
+            if s.prev_tail is not None and len(wav) >= self.overlap_samples:
+                wav = fade_in_out(wav, s.prev_tail, self.window)
+            if not s.done:
+                s.prev_tail = wav[-self.overlap_samples:]
+                emit = wav[: len(wav) - self.overlap_samples]
+                s.emitted_frames = (body_tokens * cfg.token_latent_ratio
+                                    - self.overlap_frames)
+                s.pending -= self.token_hop
+            else:
+                emit = wav
+                s.flushed = True
+            yield StreamEvent(stream=i, audio=emit, tokens=len(s.tokens),
+                              final=s.done)
