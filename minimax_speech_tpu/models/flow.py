@@ -67,7 +67,20 @@ class FlowModel(nn.Module):
     def embed_speaker(self, reference_mel: jnp.ndarray,
                       reference_mask: Optional[jnp.ndarray] = None
                       ) -> jnp.ndarray:
-        """(B, T, 80) reference mel -> (B, 192) unit-norm embedding."""
+        """(B, T, 80) reference mel -> (B, 192) unit-norm embedding.
+
+        Also accepts (B, N, T, 80) multi-reference batches: each crop is
+        embedded and the results averaged then re-normalized
+        (reference: flow.py:338-357 get_speaker_embedding 4-dim path)."""
+        if reference_mel.ndim == 4:
+            b, n, t, d = reference_mel.shape
+            flat = reference_mel.reshape(b * n, t, d)
+            m = (reference_mask.reshape(b * n, t)
+                 if reference_mask is not None else None)
+            e = self.speaker_encoder(flat, m).reshape(b, n, -1)
+            e = jnp.mean(e, axis=1)
+            return e / jnp.maximum(
+                jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
         return self.speaker_encoder(reference_mel, reference_mask)
 
     def encode_tokens(self, token, token_len, context=None, streaming=False):

@@ -98,9 +98,20 @@ class SpeechLM(nn.Module):
         return emb
 
     def embed_speaker(self, reference_mel, reference_mask=None):
-        """(B, T, 80) -> (B, C) projected speaker conditioning
-        (normalize -> affine, reference: llm.py:640-655)."""
-        e = self.speaker_encoder(reference_mel, reference_mask)
+        """(B, T, 80) or multi-crop (B, N, T, 80) -> (B, C) projected
+        speaker conditioning (normalize -> affine; multi-crop averaged —
+        reference: llm.py:616-655 + max_conditioning_inputs)."""
+        if reference_mel.ndim == 4:
+            b, n, t, d = reference_mel.shape
+            flat = reference_mel.reshape(b * n, t, d)
+            m = (reference_mask.reshape(b * n, t)
+                 if reference_mask is not None else None)
+            e = self.speaker_encoder(flat, m).reshape(b, n, -1)
+            e = jnp.mean(e, axis=1)
+            e = e / jnp.maximum(
+                jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+        else:
+            e = self.speaker_encoder(reference_mel, reference_mask)
         return self.spk_embed_affine_layer(e)
 
     def project_xvector(self, embedding):

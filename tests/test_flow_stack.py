@@ -316,3 +316,22 @@ def test_speaker_encoder_unit_norm(rng):
     out = m.apply(params, x)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
                                1.0, atol=1e-5)
+
+
+def test_multi_reference_speaker_embedding(rng):
+    """(B, N, T, 80) multi-crop conditioning: averaged + renormalized."""
+    m = FlowModel(SMALL_FLOW)
+    variables = None
+    from minimax_speech_tpu.models.flow import init_flow_variables
+    variables = init_flow_variables(m, jax.random.PRNGKey(0))
+    refs = jnp.asarray(rng.standard_normal((2, 3, 12, 8)), jnp.float32)
+    multi = m.apply(variables, refs, method=FlowModel.embed_speaker)
+    assert multi.shape == (2, 192)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(multi), axis=-1),
+                               1.0, atol=1e-5)
+    # averaging over identical crops equals the single-crop embedding
+    same = jnp.broadcast_to(refs[:, :1], refs.shape)
+    e_multi = m.apply(variables, same, method=FlowModel.embed_speaker)
+    e_single = m.apply(variables, refs[:, 0], method=FlowModel.embed_speaker)
+    np.testing.assert_allclose(np.asarray(e_multi), np.asarray(e_single),
+                               atol=1e-5)
