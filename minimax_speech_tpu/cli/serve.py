@@ -1,0 +1,207 @@
+"""Batched TTS serving daemon.
+
+The serving-process counterpart of the reference's vLLM path: an HTTP
+front door queues requests; a background worker drains the queue every
+`max_wait_ms` (or when `max_batch` requests are waiting) and runs ONE
+batched synthesis (infer/serving.py) — the AR decode is weight-streaming
+bound, so batching multiplies throughput nearly for free.
+
+  python -m minimax_speech_tpu.cli.serve --port 7860 \
+      [--ckpt_dir DIR | --random_init] [--config ...]
+
+POST /synthesize {"text": "...", "speaker": "<id>"}        -> wav bytes
+POST /register_speaker {"id": "...", "prompt_wav": path}    -> 200
+GET  /healthz                                               -> ok
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+
+def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype(np.int16)
+                      .tobytes())
+    return buf.getvalue()
+
+
+class Server:
+    def __init__(self, tts, max_batch: int = 8, max_wait_ms: int = 50):
+        import jax
+
+        from minimax_speech_tpu.infer.serving import BatchSynthesizer
+        self.tts = tts
+        self.synth = BatchSynthesizer(tts.pipeline)
+        self.queue: "queue.Queue" = queue.Queue()
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._jax = jax
+        self._counter = 0
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, text: str, speaker: str) -> np.ndarray:
+        done = threading.Event()
+        slot = {}
+        self.queue.put((text, speaker, slot, done))
+        done.wait(timeout=300)
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["audio"]
+
+    def _worker(self):
+        from minimax_speech_tpu.infer.serving import Request
+        while True:
+            first = self.queue.get()
+            batch = [first]
+            import time
+            deadline = time.time() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            reqs, slots = [], []
+            for text, speaker, slot, done in batch:
+                try:
+                    info = self.tts.spk2info[speaker]
+                    toks = self.tts.frontend.extract_text_tokens(
+                        self.tts.frontend.text_normalize(text,
+                                                         split=False)[0])
+                    reqs.append(Request(
+                        text_tokens=toks,
+                        prompt_text_tokens=np.asarray(
+                            info["prompt_text_tokens"], np.int32),
+                        prompt_speech_tokens=np.asarray(
+                            info["prompt_tokens"], np.int32),
+                        prompt_feat=np.asarray(info["prompt_feat"]),
+                        lm_spk=np.asarray(info["lm_spk"]).reshape(-1),
+                        flow_emb=np.asarray(info["flow_emb"]).reshape(-1)))
+                    slots.append((slot, done))
+                except Exception as e:
+                    slot["error"] = f"bad request: {e}"
+                    done.set()
+            if not reqs:
+                continue
+            try:
+                self._counter += 1
+                wavs = self.synth.synthesize_batch(
+                    reqs, key=self._jax.random.PRNGKey(self._counter))
+                for (slot, done), wav in zip(slots, wavs):
+                    slot["audio"] = wav
+                    done.set()
+            except Exception as e:
+                for slot, done in slots:
+                    slot["error"] = str(e)
+                    done.set()
+
+
+def make_handler(server: Server, tts):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self.send_error(400, "invalid json")
+                return
+            if self.path == "/register_speaker":
+                from minimax_speech_tpu.data.pipeline import _load_audio
+                audio, sr = _load_audio(req["prompt_wav"])
+                if sr != 16000:
+                    n = int(round(len(audio) * 16000 / sr))
+                    audio = np.interp(
+                        np.linspace(0, 1, n, endpoint=False),
+                        np.linspace(0, 1, len(audio), endpoint=False),
+                        audio).astype(np.float32)
+                tts.add_zero_shot_spk(req.get("prompt_text", ""), audio,
+                                      req["id"])
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+            elif self.path == "/synthesize":
+                try:
+                    audio = server.submit(req.get("text", "hello"),
+                                          req.get("speaker"))
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                body = wav_bytes(audio, tts.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, fmt, *a):
+            print("[serve]", fmt % a)
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--config", default="configs/default.yaml")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=int, default=50)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from minimax_speech_tpu import config as cfg_lib
+    from minimax_speech_tpu.infer.api import TTS
+    from minimax_speech_tpu.infer.pipeline import TTSPipeline
+
+    if args.ckpt_dir:
+        tts = TTS(model_dir=args.ckpt_dir,
+                  tokenizer_path=args.tokenizer_path, config=args.config)
+    elif args.random_init:
+        cfg = cfg_lib.load_tts_config(args.config, args.override)
+        tts = TTS(pipeline=TTSPipeline.from_random(cfg),
+                  tokenizer_path=args.tokenizer_path)
+    else:
+        raise SystemExit("need --ckpt_dir or --random_init")
+
+    server = Server(tts, args.max_batch, args.max_wait_ms)
+    httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                make_handler(server, tts))
+    print(f"serving on :{args.port} (batch<={args.max_batch}, "
+          f"window {args.max_wait_ms}ms)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
