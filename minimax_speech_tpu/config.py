@@ -75,7 +75,6 @@ def _build(dc_type, data: dict):
     for k, v in data.items():
         if k not in fields:
             raise KeyError(f"unknown config key {k} for {dc_type.__name__}")
-        ftype = fields[k].type
         sub = _SUBCONFIGS.get((dc_type.__name__, k))
         if sub is not None and isinstance(v, dict):
             kwargs[k] = _build(sub, v)

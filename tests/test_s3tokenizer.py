@@ -211,3 +211,27 @@ def test_v1_codebook_nearest(rng):
             + 2 * np.einsum("btd,cd->btc", np.asarray(x), cb)
             - np.sum(cb ** 2, -1)[None, None])
     np.testing.assert_array_equal(dist.argmax(-1)[0], np.arange(5))
+
+
+@pytest.mark.slow
+def test_token_parity_production_geometry(rng):
+    """Same parity check at the full 1280x20x6 geometry with the real
+    RoPE table and FSMN kernel 31 (guards scale-dependent numerics)."""
+    cfg = s3.S3TokenizerConfig()  # production
+    torch.manual_seed(42)
+    tm = TorchTok(cfg.n_mels, cfg.n_state, cfg.n_head, cfg.n_layer,
+                  cfg.fsmn_kernel).eval()
+    params = s3.params_from_torch_state(torch_state_to_numpy(tm))
+    jm = s3.S3TokenizerV2(cfg)
+
+    b, t = 1, 200  # 2 s of mel frames
+    mel = rng.standard_normal((b, cfg.n_mels, t)).astype(np.float32)
+    mel_len = np.array([t], np.int32)
+    with torch.no_grad():
+        codes_t, len_t, _ = tm(torch.from_numpy(mel),
+                               torch.from_numpy(mel_len))
+    codes_j, len_j = jm.apply(params, jnp.asarray(mel.transpose(0, 2, 1)),
+                              jnp.asarray(mel_len))
+    n = int(len_t[0])
+    match = (np.asarray(codes_j)[0, :n] == codes_t.numpy()[0, :n]).mean()
+    assert match >= 0.99, f"production-geometry token match {match}"
