@@ -141,3 +141,21 @@ def test_dit2d_shapes(rng):
     out = m.apply(params, x, jnp.array([0.2, 0.8]), z)
     assert out.shape == (2, 16, 16, 3)
     np.testing.assert_allclose(np.asarray(out), 0.0)  # adaLN-zero init
+
+
+@pytest.mark.slow
+def test_dito_infer_cli(tmp_path, rng):
+    import wave
+    from minimax_speech_tpu.cli import dito_infer
+    sr = 24000
+    a = rng.standard_normal(int(0.3 * sr)).astype(np.float32) * 0.2
+    p = tmp_path / "in.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((a * 32767).astype(np.int16).tobytes())
+    out = tmp_path / "rec.wav"
+    dito_infer.main(["--wav", str(p), "--out", str(out), "--random_init",
+                     "--n_steps", "2"])
+    assert out.exists()
