@@ -98,3 +98,22 @@ def test_audio_folder(tmp_path, rng):
     assert np.abs(batch).max() <= 1.0
     it = ds.infinite_batches(2)
     assert next(it).shape == (2, 4800)
+
+
+def test_metrics_logger_and_timer(tmp_path):
+    import json
+    from minimax_speech_tpu.utils.logging import MetricsLogger, Timer
+    lg = MetricsLogger(str(tmp_path), name="t", log_interval=2)
+    lg.log(0, {"loss": 1.5})
+    lg.log(1, {"loss": 1.0})        # skipped (interval)
+    lg.log(1, {"loss": 1.0}, force=True)
+    rows = [json.loads(l) for l in
+            (tmp_path / "t_metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 2 and rows[0]["loss"] == 1.5
+
+    tm = Timer()
+    with tm("phase_a"):
+        sum(range(1000))
+    snap = tm.snapshot_and_reset()
+    assert "time/phase_a" in snap and snap["time/phase_a"] >= 0
+    assert tm.snapshot_and_reset() == {}
