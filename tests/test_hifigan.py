@@ -78,3 +78,59 @@ def test_f0_predictor_nonneg(voc, rng):
     f0 = m.apply(params, mel, method=hifigan.HiFTGenerator.predict_f0)
     assert f0.shape == (2, 9)
     assert (np.asarray(f0) >= 0).all()
+
+
+def test_resblock_parity_vs_torch(rng):
+    """Snake ResBlock with converted weight-norm weights must match the
+    reference math (generator.py:46-101)."""
+    import torch.nn as tnn
+    from torch.nn.utils import weight_norm as twn
+
+    from minimax_speech_tpu.utils.convert import _resblock
+
+    ch, k, dil = 6, 3, (1, 3)
+    torch.manual_seed(5)
+
+    class TRes(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs1 = tnn.ModuleList(
+                [twn(tnn.Conv1d(ch, ch, k, dilation=d,
+                                padding=(k * d - d) // 2)) for d in dil])
+            self.convs2 = tnn.ModuleList(
+                [twn(tnn.Conv1d(ch, ch, k, padding=(k - 1) // 2))
+                 for _ in dil])
+            self.alphas1 = tnn.ParameterList(
+                [tnn.Parameter(torch.rand(1, ch, 1) + 0.5) for _ in dil])
+            self.alphas2 = tnn.ParameterList(
+                [tnn.Parameter(torch.rand(1, ch, 1) + 0.5) for _ in dil])
+
+        def forward(self, x):
+            for i in range(len(dil)):
+                a1, a2 = self.alphas1[i], self.alphas2[i]
+                xt = x + (a1 + 1e-9).reciprocal() * torch.sin(a1 * x) ** 2
+                xt = self.convs1[i](xt)
+                xt = xt + (a2 + 1e-9).reciprocal() * torch.sin(a2 * xt) ** 2
+                xt = self.convs2[i](xt)
+                x = x + xt
+            return x
+
+    tm = TRes().eval()
+    state = {}
+    for i in range(len(dil)):
+        for name, conv in (("convs1", tm.convs1[i]), ("convs2", tm.convs2[i])):
+            sd = conv.state_dict()
+            state[f"r.{name}.{i}.weight_g"] = sd["weight_g"].numpy()
+            state[f"r.{name}.{i}.weight_v"] = sd["weight_v"].numpy()
+            state[f"r.{name}.{i}.bias"] = sd["bias"].numpy()
+        state[f"r.activations1.{i}.alpha"] = tm.alphas1[i].detach().numpy()
+        state[f"r.activations2.{i}.alpha"] = tm.alphas2[i].detach().numpy()
+    params = {"params": _resblock(state, "r.", len(dil))}
+
+    m = hifigan.ResBlock(ch, k, dil)
+    x = rng.standard_normal((1, ch, 20)).astype(np.float32)
+    with torch.no_grad():
+        golden = tm(torch.from_numpy(x)).numpy()
+    ours = m.apply(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), golden,
+                               atol=2e-5)
