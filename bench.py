@@ -86,22 +86,28 @@ def main():
 
     # warmup (compiles every stage)
     wav, tim = run(jax.random.PRNGKey(1))
+    # median of 5: the axon-tunnel dispatch RTT is noisy, so the reported
+    # number is the stable middle, not a lucky best-of-run
     results = []
-    for i in range(3):
+    for i in range(5):
         wav, tim = run(jax.random.PRNGKey(2 + i))
         results.append(tim)
 
-    best = min(results, key=lambda t: t["total_s"])
-    rtf = best["total_s"] / best["audio_s"]
+    results.sort(key=lambda t: t["total_s"])
+    med = results[len(results) // 2]
+    rtf = med["total_s"] / med["audio_s"]
     print(json.dumps({
         "metric": "e2e_rtf",
         "value": round(rtf, 5),
         "unit": "wall_s_per_audio_s",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
         "detail": {
-            "audio_s": round(best["audio_s"], 2),
-            "tokens": best["tokens"],
-            "total_s": round(best["total_s"], 4),
+            "audio_s": round(med["audio_s"], 2),
+            "tokens": med["tokens"],
+            "total_s": round(med["total_s"], 4),
+            "best_s": round(results[0]["total_s"], 4),
+            "runs": len(results),
+            "stat": "median",
             "mode": "fused_single_dispatch",
             "chip": "v5e",
         },

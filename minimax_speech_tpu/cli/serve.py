@@ -10,12 +10,19 @@ bound, so batching multiplies throughput nearly for free.
       [--ckpt_dir DIR | --random_init] [--config ...]
 
 POST /synthesize {"text": "...", "speaker": "<id>"}        -> wav bytes
-POST /register_speaker {"id": "...", "prompt_wav": path}    -> 200
+POST /register_speaker {"id": "...", "wav_b64": <base64 wav bytes>,
+                        "prompt_text": "..."}               -> 200
 GET  /healthz                                               -> ok
+
+Speaker registration takes the audio *in* the request (base64 WAV), like
+the reference's fastapi/gradio servers accept uploads — never a
+server-side filesystem path, which would let any client read arbitrary
+host files. The server binds 127.0.0.1 unless --host overrides it.
 """
 from __future__ import annotations
 
 import argparse
+import base64
 import io
 import json
 import queue
@@ -130,8 +137,24 @@ def make_handler(server: Server, tts):
                 self.send_error(400, "invalid json")
                 return
             if self.path == "/register_speaker":
-                from minimax_speech_tpu.data.pipeline import _load_audio
-                audio, sr = _load_audio(req["prompt_wav"])
+                if "id" not in req or "wav_b64" not in req:
+                    self.send_error(
+                        400, "register_speaker requires 'id' and 'wav_b64'")
+                    return
+                try:
+                    raw = base64.b64decode(req["wav_b64"], validate=True)
+                    with wave.open(io.BytesIO(raw), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        if w.getsampwidth() != 2:
+                            raise ValueError("expected 16-bit PCM wav")
+                        pcm = np.frombuffer(
+                            w.readframes(w.getnframes()), np.int16)
+                    audio = (pcm.reshape(-1, nch).mean(axis=1)
+                             / 32768.0).astype(np.float32)
+                except Exception as e:
+                    self.send_error(400, f"bad wav payload: {e}")
+                    return
                 if sr != 16000:
                     n = int(round(len(audio) * 16000 / sr))
                     audio = np.interp(
@@ -169,6 +192,9 @@ def make_handler(server: Server, tts):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; set 0.0.0.0 "
+                        "explicitly to expose)")
     p.add_argument("--config", default="configs/default.yaml")
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--ckpt_dir", default=None)
@@ -195,9 +221,9 @@ def main(argv=None):
         raise SystemExit("need --ckpt_dir or --random_init")
 
     server = Server(tts, args.max_batch, args.max_wait_ms)
-    httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
+    httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server, tts))
-    print(f"serving on :{args.port} (batch<={args.max_batch}, "
+    print(f"serving on {args.host}:{args.port} (batch<={args.max_batch}, "
           f"window {args.max_wait_ms}ms)")
     httpd.serve_forever()
 

@@ -112,6 +112,10 @@ class TTS:
              key) -> Generator[dict, None, None]:
         p = self.pipeline
         for piece in text_pieces:
+            # fresh randomness per piece (seed-deterministic): the
+            # reference's torch RNG state advances across segments, so
+            # reusing one key would correlate sampling between sentences
+            key, piece_key = jax.random.split(key)
             text_tokens = self.frontend.extract_text_tokens(piece)
             start = time.time()
             if stream:
@@ -119,7 +123,7 @@ class TTS:
                 for chunk in sess.synthesize_stream(
                         text_tokens, info["prompt_text_tokens"],
                         info["prompt_tokens"], info["prompt_feat"],
-                        info["lm_spk"], info["flow_emb"], key=key):
+                        info["lm_spk"], info["flow_emb"], key=piece_key):
                     wav = _speed_change(chunk.audio, speed)
                     dur = len(wav) / self.sample_rate
                     logging.info("yield speech len %.2f, rtf %.4f", dur,
@@ -131,7 +135,7 @@ class TTS:
                 wav = p.synthesize_fused(
                     text_tokens, info["prompt_text_tokens"],
                     info["prompt_tokens"], info["prompt_feat"],
-                    info["lm_spk"], info["flow_emb"], key=key)
+                    info["lm_spk"], info["flow_emb"], key=piece_key)
                 wav = _speed_change(wav, speed)
                 dur = len(wav) / self.sample_rate
                 logging.info("yield speech len %.2f, rtf %.4f", dur,

@@ -7,8 +7,12 @@ equivalents are a jax.sharding Mesh with named axes:
   tp — tensor parallel (attention heads / MLP hidden sharded)
 
 ZeRO-style optimizer-state sharding = sharding the optimizer state over
-dp (see shard_opt_state). Collectives are inserted by XLA from the
-NamedSharding annotations and ride ICI.
+dp (see opt_state_shardings): adam moments inherit the parameter's TP
+sharding and additionally shard their largest TP-free dimension over the
+dp axis, so per-device optimizer bytes shrink ~dp x — the DeepSpeed
+zero-2 equivalent (reference: speech/utils/train_utils.py:142-147).
+Collectives are inserted by XLA from the NamedSharding annotations and
+ride ICI.
 """
 from __future__ import annotations
 
@@ -92,19 +96,53 @@ def _path_str(path) -> str:
                     for k in path)
 
 
-def opt_state_shardings(mesh: Mesh, opt_state_shape, params_shardings):
-    """Shardings for an optimizer state pytree (the ZeRO-equivalent,
-    SURVEY §2.7): adam moments embed param-shaped subtrees, so any opt
-    leaf whose path ends with a parameter's path (and matches its shape)
-    inherits that parameter's sharding; everything else is replicated."""
+def opt_state_shardings(mesh: Mesh, opt_state_shape, params_shardings,
+                        zero_axis: str = "dp"):
+    """Shardings for an optimizer state pytree — the ZeRO-2 equivalent
+    (DeepSpeed zero stage 2; reference: speech/utils/train_utils.py:142-147,
+    194-209). Adam moments embed param-shaped subtrees: any opt leaf whose
+    path ends with a parameter's path inherits that parameter's TP sharding
+    AND is additionally sharded over `zero_axis` (dp) along its largest
+    not-yet-sharded divisible dimension, so per-device optimizer bytes
+    shrink ~dp x. XLA turns the resulting layouts into reduce-scatter /
+    all-gather collectives around the optimizer update. Non-param leaves
+    (step counters, schedule state) replicate."""
     flat = jax.tree_util.tree_flatten_with_path(params_shardings)[0]
     by_suffix = [(_path_str(p), s) for p, s in flat]
+    zero_n = mesh.shape.get(zero_axis, 1)
+
+    def zero_shard(spec: P, shape) -> P:
+        """Add `zero_axis` to the largest unsharded, divisible dim; when
+        every dim is already TP-sharded (1-D biases), co-shard the same
+        dim over (tp, dp) if divisible by the combined extent."""
+        if zero_n <= 1:
+            return spec
+        entries = list(spec) + [None] * (len(shape) - len(spec))
+        best, best_size = -1, 0
+        for dim, axis in enumerate(entries):
+            if axis is None and shape[dim] % zero_n == 0 \
+                    and shape[dim] > best_size:
+                best, best_size = dim, shape[dim]
+        if best >= 0:
+            entries[best] = zero_axis
+            return P(*entries)
+        for dim, axis in enumerate(entries):
+            axes = (axis,) if isinstance(axis, str) else tuple(axis or ())
+            if not axes:
+                continue
+            extent = zero_n
+            for a in axes:
+                extent *= mesh.shape[a]
+            if shape[dim] % extent == 0:
+                entries[dim] = axes + (zero_axis,)
+                return P(*entries)
+        return spec
 
     def one(path, leaf):
         p = _path_str(path)
+        shape = getattr(leaf, "shape", ())
         for suffix, sharding in by_suffix:
             if p.endswith(suffix):
-                shape = getattr(leaf, "shape", ())
                 ok = True
                 for dim, axis in enumerate(sharding.spec):
                     if axis is not None and (
@@ -112,7 +150,8 @@ def opt_state_shardings(mesh: Mesh, opt_state_shape, params_shardings):
                             or shape[dim] % mesh.shape[axis] != 0):
                         ok = False
                 if ok:
-                    return sharding
+                    return NamedSharding(
+                        mesh, zero_shard(sharding.spec, shape))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(one, opt_state_shape)

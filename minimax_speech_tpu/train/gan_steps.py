@@ -137,7 +137,9 @@ def make_hift_steps(generator, discriminator, mel_weight: float = 45.0,
             n = min(fake.shape[-1], batch["audio"].shape[-1])
             mel_l = audio_losses.l1_loss(gen_mel(fake[..., :n]),
                                          gen_mel(batch["audio"][..., :n]))
-            tpr = losses.tpr_loss(real_s, fake_s, tpr_tau)
+            # generator turn swaps the args (reference hifigan.py:44:
+            # tpr_loss(y_d_gs, y_d_rs)) — relativistic direction flipped
+            tpr = losses.tpr_loss(fake_s, real_s, tpr_tau)
             total = adv + feat_weight * feat + mel_weight * mel_l \
                 + tpr_weight * tpr
             if "pitch" in batch:

@@ -99,12 +99,21 @@ def feature_matching_loss(real_feats, fake_feats):
 
 def tpr_loss(real_outputs, fake_outputs, tau: float = 0.04):
     """Truncated pointwise relativistic loss (reference:
-    cosyvoice/utils/losses.py:6-21)."""
+    cosyvoice/utils/losses.py:6-12).
+
+    Per pair: L_rel = mean of ((dr-dg) - median(dr-dg))^2 over only the
+    elements where dr - dg < median (the "generated beats real" subset),
+    truncated from above at tau via tau - relu(tau - L_rel) so gradient
+    flows when L_rel < tau and is clipped beyond."""
     loss = 0.0
     for dr, df in zip(real_outputs, fake_outputs):
-        m_dg = jnp.median(dr - df)
-        l_rel = jnp.mean(jnp.maximum(0.0, m_dg - (dr - df)) ** 2)
-        loss = loss + jnp.maximum(l_rel - tau, 0.0)
+        d = dr - df
+        m_dg = jnp.median(d)
+        mask = d < m_dg
+        sq = (d - m_dg) ** 2
+        l_rel = jnp.sum(jnp.where(mask, sq, 0.0)) / jnp.maximum(
+            jnp.sum(mask), 1)
+        loss = loss + (tau - jax.nn.relu(tau - l_rel))
     return loss
 
 

@@ -63,20 +63,29 @@ Decoded decode_wav(const std::string& path) {
     const uint8_t* hdr = buf.data() + pos;
     uint32_t chunk_len = rd_u32(hdr + 4);
     const uint8_t* body = hdr + 8;
-    if (std::memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16) {
+    // never read a chunk body past the end of the file (truncated or
+    // lying chunk headers must not cause an over-read)
+    size_t avail = buf.size() - pos - 8;
+    size_t body_len = chunk_len < avail ? chunk_len : avail;
+    if (std::memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16 &&
+        body_len >= 16) {
       fmt = rd_u16(body);
       channels = rd_u16(body + 2);
       rate = rd_u32(body + 4);
       bits = rd_u16(body + 14);
     } else if (std::memcmp(hdr, "data", 4) == 0) {
       data = body;
-      data_len = chunk_len;
-      if (pos + 8 + data_len > buf.size()) data_len = buf.size() - pos - 8;
+      data_len = body_len;
     }
     pos += 8 + chunk_len + (chunk_len & 1);
+    if (chunk_len > buf.size()) break;  // overflow-proof: header is bogus
   }
   if (!data || channels == 0 || rate == 0) {
     out.error = "missing fmt/data chunk: " + path;
+    return out;
+  }
+  if (bits != 16 && bits != 24 && bits != 32) {
+    out.error = "unsupported bits-per-sample in " + path;
     return out;
   }
   size_t bytes_per = bits / 8;

@@ -132,3 +132,30 @@ def test_dpo_step(rng):
     # with policy == ref, sigmoid DPO loss is exactly -log sigmoid(0)
     np.testing.assert_allclose(float(metrics["dpo/loss"]), np.log(2),
                                rtol=1e-5)
+
+
+def test_tpr_loss_matches_reference_semantics(rng):
+    """tpr_loss vs a torch replica of the reference formula
+    (speech/cosyvoice/utils/losses.py:6-12): masked-subset mean of
+    ((dr-dg)-median)^2 where dr < dg + median, truncated as
+    tau - relu(tau - L_rel)."""
+    import torch
+
+    from minimax_speech_tpu.utils import losses
+
+    def ref_tpr(drs, dgs, tau):
+        loss = 0.0
+        for dr, dg in zip(drs, dgs):
+            dr, dg = torch.tensor(dr), torch.tensor(dg)
+            m = torch.median(dr - dg)
+            l_rel = torch.mean((((dr - dg) - m) ** 2)[dr < dg + m])
+            loss += tau - torch.relu(torch.tensor(tau) - l_rel)
+        return float(loss)
+
+    for tau in (0.04, 1e-6):
+        drs = [rng.standard_normal(33).astype(np.float32) for _ in range(3)]
+        dgs = [rng.standard_normal(33).astype(np.float32) for _ in range(3)]
+        got = float(losses.tpr_loss([jnp.asarray(d) for d in drs],
+                                    [jnp.asarray(g) for g in dgs], tau))
+        want = ref_tpr(drs, dgs, tau)
+        assert abs(got - want) < 1e-5, (tau, got, want)

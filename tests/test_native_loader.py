@@ -64,3 +64,40 @@ def test_native_opener_stage(built, tmp_path, rng):
     assert len(s["speech_token"]) == n_tok
     assert s["speech_latent"].shape == (n_tok * 2, 80)
     assert abs(len(s["audio"]) - len(audio)) <= 1
+
+
+def test_native_rejects_malformed_wavs(built, tmp_path):
+    """Truncated/lying chunk headers and bits=0 must produce an error,
+    not an over-read or SIGFPE (advisor finding, round 1)."""
+    import struct
+
+    def riff(body: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # fmt chunk claims 16 bytes but the file is truncated after 4
+    trunc = riff(b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00")
+    # fmt with bits=0 (would make bytes_per=0 -> divide by zero)
+    fmt0 = (b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 16000, 0, 0, 0))
+    zerobits = riff(fmt0 + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    # data chunk claiming 4 GiB
+    fmt16 = (b"fmt " + struct.pack("<I", 16)
+             + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16))
+    lying = riff(fmt16 + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 16)
+
+    paths = []
+    for name, payload in [("trunc", trunc), ("zerobits", zerobits)]:
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(payload)
+        paths.append((str(p), True))
+    p = tmp_path / "lying.wav"
+    p.write_bytes(lying)
+    paths.append((str(p), False))  # lying data len: clamped, decodes 8 frames
+
+    for path, expect_err in paths:
+        try:
+            (a, sr), = native_loader.batch_load([path])
+            assert not expect_err, f"{path} should have errored"
+            assert len(a) == 8
+        except IOError:
+            assert expect_err, f"{path} should have decoded"
