@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--source", choices=["llm", "flow"], default="llm",
                    help="which model's speaker encoder to use")
+    p.add_argument("--campplus", type=str, default=None,
+                   help="campplus weights (.onnx or torch .pt/.bin): embed "
+                        "with the CAM++ x-vector instead of the learnable "
+                        "speaker encoder (reference: speech/tools/"
+                        "extract_embedding.py, campplus ONNX)")
     p.add_argument("--skip_existing", action="store_true")
     p.add_argument("--process_index", type=int, default=None)
     p.add_argument("--process_count", type=int, default=None)
@@ -47,6 +52,49 @@ def main(argv=None):
     pc = args.process_count if args.process_count is not None \
         else jax.process_count()
     files = collect_files(args)[pi::pc]
+
+    if args.campplus:
+        from minimax_speech_tpu.models.campplus import (CAMPPlus,
+                                                        CAMPPlusConfig)
+        from minimax_speech_tpu.ops.kaldi_fbank import kaldi_fbank
+        from minimax_speech_tpu.utils import convert
+        if args.campplus.endswith(".onnx"):
+            from minimax_speech_tpu.utils.onnx_reader import \
+                read_onnx_initializers
+            state = read_onnx_initializers(args.campplus)
+        else:
+            import torch
+            state = {k: v.numpy() for k, v in torch.load(
+                args.campplus, map_location="cpu").items()}
+        cp_vars = convert.campplus_params(state)
+        cp = CAMPPlus(CAMPPlusConfig())
+        cp_apply = jax.jit(lambda f: cp.apply(cp_vars, f))
+
+        done, failed = 0, []
+        t0 = time.time()
+        for path in files:
+            out = path.with_name(path.stem + "_spk.npy")
+            if args.skip_existing and out.exists():
+                continue
+            try:
+                audio, sr = _load_audio(str(path))
+                if sr != 16000:
+                    n = int(round(len(audio) * 16000 / sr))
+                    audio = np.interp(
+                        np.linspace(0, 1, n, endpoint=False),
+                        np.linspace(0, 1, len(audio), endpoint=False),
+                        audio).astype(np.float32)
+                feat = kaldi_fbank(jnp.asarray(audio))
+                feat = feat - feat.mean(axis=0, keepdims=True)
+                emb = cp_apply(feat[None])
+                np.save(out, np.asarray(emb)[0])
+                done += 1
+            except Exception as e:
+                print(f"FAILED {path}: {e}", file=sys.stderr)
+                failed.append(str(path))
+        print(f"[rank {pi}/{pc}] campplus embedded {done} files in "
+              f"{time.time() - t0:.1f}s ({len(failed)} failed)")
+        return
 
     model = LearnableSpeakerEncoder(SpeakerEncoderConfig())
     if args.ckpt:

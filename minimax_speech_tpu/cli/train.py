@@ -34,10 +34,16 @@ def parse_args(argv=None):
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (fp32 optimizer)")
+    p.add_argument("--dpo", action="store_true",
+                   help="DPO fine-tuning (llm only): requires "
+                        "<stem>_fsq_reject sidecars; the frozen reference "
+                        "policy is --ref_ckpt (default: --init_ckpt)")
+    p.add_argument("--ref_ckpt", type=str, default=None)
     return p.parse_args(argv)
 
 
-def build_stages(cfg_train, tokenizer, model_kind: str):
+def build_stages(cfg_train, tokenizer, model_kind: str,
+                 dpo: bool = False):
     from minimax_speech_tpu.data import pipeline as dp
     stages = [
         lambda it: dp.individual_file_opener(it),
@@ -51,7 +57,7 @@ def build_stages(cfg_train, tokenizer, model_kind: str):
             it, cfg_train.get("max_frames_in_batch", 25000)),
     ]
     if model_kind == "llm":
-        stages.append(lambda it: dp.padding_llm(it))
+        stages.append(lambda it: dp.padding_llm(it, dpo=dpo))
     else:
         stages.append(lambda it: dp.padding_flow(it))
     return stages
@@ -95,7 +101,14 @@ def main(argv=None):
         variables = (load_params(args.init_ckpt) if args.init_ckpt
                      else jax.jit(llm_mod.init_lm_variables,
                                   static_argnums=0)(model, key))
-        step_fn = steps.make_lm_train_step(model, bf16=args.bf16)
+        if args.dpo:
+            # frozen reference policy (reference: train.py:209-210,273-288)
+            from minimax_speech_tpu.train import gan_steps
+            ref = (load_params(args.ref_ckpt) if args.ref_ckpt
+                   else variables)
+            step_fn = gan_steps.make_dpo_step(model, ref["params"])
+        else:
+            step_fn = steps.make_lm_train_step(model, bf16=args.bf16)
         needs_key = False
     else:
         model = FlowModel(tts_cfg.flow)
@@ -126,6 +139,9 @@ def main(argv=None):
     if args.model == "llm":
         allowed_keys = {"src_type", "tok_id", "target", "seq_len",
                         "reference_mel", "reference_mel_len"}
+        if args.dpo:
+            allowed_keys |= {"src_type_rej", "tok_id_rej", "target_rej",
+                             "seq_len_rej"}
     else:
         allowed_keys = {"token", "token_len", "feat", "feat_len",
                         "reference_mel", "reference_mel_len"}
@@ -151,7 +167,8 @@ def main(argv=None):
              Path(args.train_data).read_text().splitlines() if line.strip()]
     source = dp.DataList(items, process_index=jax.process_index(),
                          process_count=jax.process_count())
-    stages = build_stages(tcfg, tokenizer, args.model)
+    stages = build_stages(tcfg, tokenizer, args.model,
+                          dpo=args.dpo)
 
     cv_source = None
     if args.cv_data:

@@ -85,6 +85,14 @@ def attach_sidecars(sample: dict, token_latent_ratio: int = 2
         sample["speech_token"] = np.asarray(tok[:n], np.int32)
         sample["speech_latent"] = np.asarray(
             lat[: n * token_latent_ratio], np.float32)
+        # optional DPO reject tokens (reference pairs a rejected sample per
+        # utterance, processor.py:691-703; sidecar convention
+        # <stem>_fsq_reject.*)
+        try:
+            rej = _load_array(str(stem) + "_fsq_reject")
+            sample["reject_speech_token"] = np.asarray(rej, np.int32)
+        except Exception:
+            pass
         yield sample
     except Exception as e:  # skip-and-log, like the reference
         print(f"opener skip {sample.get('src')}: {e}")
@@ -193,6 +201,10 @@ def filter_lengths(data, max_length: int = 40960, min_length: int = 100,
         if not (token_min_length <= len(s["text_token"]) <= token_max_length):
             continue
         if len(s.get("speech_token", ())) == 0:
+            continue
+        # DPO pairs with an empty rejected sequence are unusable
+        # (reference: processor.py:263-264)
+        if "reject_speech_token" in s and len(s["reject_speech_token"]) == 0:
             continue
         yield s
 
@@ -351,23 +363,36 @@ def padding_flow(batches, token_latent_ratio: int = 2,
 
 def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,
                 bucket_multiple: int = 64,
-                bistream_prob: float = 0.5) -> Iterator[dict]:
+                bistream_prob: float = 0.5,
+                dpo: bool = False, eos: int = 6561,
+                fill: int = 6563) -> Iterator[dict]:
     """Stage-1 LM batch: emits the fixed-shape interleave plan
     (replaces the reference's on-device python interleave,
-    llm.py:433-527)."""
+    llm.py:433-527). With dpo=True, also emits `_rej`-suffixed plan
+    tensors built from each sample's reject_speech_token (the
+    reference's reject pairing, processor.py:691-703), padded to the
+    SAME bucket so chosen/rejected run through one jitted step."""
     for batch in batches:
         flags = [random.random() < bistream_prob for _ in batch]
-        plan = llm_mod.build_lm_plan(
-            [s["text_token"] for s in batch],
-            [s["speech_token"] for s in batch],
-            mix_ratio=mix_ratio, use_spk=use_spk, bistream_flags=flags)
-        pad_to = _bucket(int(plan["seq_len"].max()), bucket_multiple)
-        plan = llm_mod.build_lm_plan(
-            [s["text_token"] for s in batch],
-            [s["speech_token"] for s in batch],
-            mix_ratio=mix_ratio, use_spk=use_spk, bistream_flags=flags,
-            pad_to=pad_to)
+
+        def plan_for(token_key, pad_to=None):
+            return llm_mod.build_lm_plan(
+                [s["text_token"] for s in batch],
+                [s[token_key] for s in batch],
+                mix_ratio=mix_ratio, use_spk=use_spk, bistream_flags=flags,
+                pad_to=pad_to, eos=eos, fill=fill)
+
+        plan = plan_for("speech_token")
+        longest = int(plan["seq_len"].max())
+        if dpo:
+            rej_probe = plan_for("reject_speech_token")
+            longest = max(longest, int(rej_probe["seq_len"].max()))
+        pad_to = _bucket(longest, bucket_multiple)
+        plan = plan_for("speech_token", pad_to)
         out = dict(plan)
+        if dpo:
+            rej = plan_for("reject_speech_token", pad_to)
+            out.update({k + "_rej": v for k, v in rej.items()})
         if "reference_mels" in batch[0]:
             rl = np.array([s["reference_mels"][0].shape[0] for s in batch],
                           np.int32)

@@ -49,7 +49,8 @@ class TTS:
     def __init__(self, model_dir: Optional[str] = None,
                  pipeline: Optional[TTSPipeline] = None,
                  tokenizer_path: Optional[str] = None,
-                 config: str = "configs/default.yaml"):
+                 config: str = "configs/default.yaml",
+                 campplus: Optional[str] = None):
         if pipeline is None:
             from minimax_speech_tpu.utils.params_io import load_params
             d = Path(model_dir)
@@ -61,11 +62,49 @@ class TTS:
                 flow_vars=load_params(d / "flow.npz"),
                 codec_vars=load_params(d / "codec.npz"),
                 s3_vars=load_params(d / "s3.npz"))
+            if campplus is None and (d / "campplus.onnx").exists():
+                campplus = str(d / "campplus.onnx")
         self.pipeline = pipeline
         self.cfg = pipeline.cfg
         self.sample_rate = self.cfg.sample_rate
         self.frontend = Frontend(tokenizer_path)
         self.spk2info: dict[str, dict] = {}
+        self._stream_sess: Optional[StreamingSession] = None
+        # campplus x-vector path: the reference's non-speaker-encoder
+        # conditioning (frontend.py:104-113, campplus.onnx via ORT) —
+        # here a native JAX port (models/campplus.py)
+        self._campplus = None
+        if campplus is not None:
+            self._load_campplus(campplus)
+
+    def _load_campplus(self, path: str):
+        import jax.numpy as jnp
+
+        from minimax_speech_tpu.models.campplus import (CAMPPlus,
+                                                        CAMPPlusConfig)
+        from minimax_speech_tpu.utils import convert
+        if str(path).endswith(".onnx"):
+            from minimax_speech_tpu.utils.onnx_reader import \
+                read_onnx_initializers
+            state = read_onnx_initializers(path)
+        else:
+            import torch
+            raw = torch.load(path, map_location="cpu")
+            state = {k: v.numpy() for k, v in raw.items()}
+        variables = convert.campplus_params(state)
+        model = CAMPPlus(CAMPPlusConfig())
+        self._campplus = jax.jit(lambda feat: model.apply(variables, feat))
+
+    def xvector(self, prompt_speech_16k: np.ndarray) -> np.ndarray:
+        """(T,) 16 kHz audio -> (1, 192) campplus x-vector
+        (reference: _extract_spk_embedding frontend.py:104-113:
+        kaldi fbank, per-utterance mean subtraction, campplus)."""
+        import jax.numpy as jnp
+
+        from minimax_speech_tpu.ops.kaldi_fbank import kaldi_fbank
+        feat = kaldi_fbank(jnp.asarray(prompt_speech_16k, jnp.float32))
+        feat = feat - feat.mean(axis=0, keepdims=True)
+        return np.asarray(self._campplus(feat[None]))
 
     # -- speaker cache (reference: frontend.py spk2info + cosyvoice.py:63-75)
     def add_zero_shot_spk(self, prompt_text: str,
@@ -100,7 +139,18 @@ class TTS:
         prompt_mel = p.extract_prompt_mel(audio24)
         prompt_feat = (p.extract_prompt_latent(audio24)
                        if self.cfg.output_type == "latent" else prompt_mel)
-        lm_spk, flow_emb = p.speaker_embedding(prompt_mel)
+        if self._campplus is not None and not self.cfg.flow.use_speaker_encoder:
+            # x-vector conditioning from raw audio (the reference's
+            # non-speaker-encoder path, frontend.py:104-113)
+            import jax.numpy as jnp
+            xv = self.xvector(prompt_speech_16k.astype(np.float32))
+            flow_emb = xv / max(float(np.linalg.norm(xv)), 1e-12)
+            lm_spk = np.asarray(p.lm.apply(
+                p.lm_vars, jnp.asarray(flow_emb),
+                method=type(p.lm).project_xvector))
+            flow_emb = jnp.asarray(flow_emb)
+        else:
+            lm_spk, flow_emb = p.speaker_embedding(prompt_mel)
         ptext_tokens = (self.frontend.extract_text_tokens(prompt_text)
                         if prompt_text else np.zeros((0,), np.int32))
         return {"prompt_tokens": prompt_tokens, "prompt_feat": prompt_feat,
@@ -119,7 +169,12 @@ class TTS:
             text_tokens = self.frontend.extract_text_tokens(piece)
             start = time.time()
             if stream:
-                sess = StreamingSession(p)
+                # one session per TTS object: its jitted chunk programs
+                # (and the chunked-flow caches' compiles) are reused
+                # across pieces and calls
+                if self._stream_sess is None:
+                    self._stream_sess = StreamingSession(p)
+                sess = self._stream_sess
                 for chunk in sess.synthesize_stream(
                         text_tokens, info["prompt_text_tokens"],
                         info["prompt_tokens"], info["prompt_feat"],

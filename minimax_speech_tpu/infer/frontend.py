@@ -28,70 +28,71 @@ SPECIAL_TOKENS = [
     "[lipsmack]", "[mm]",
 ]
 
-_ONES = ("zero one two three four five six seven eight nine ten eleven "
-         "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
-         "nineteen").split()
-_TENS = ("zero ten twenty thirty forty fifty sixty seventy eighty "
-         "ninety").split()
-
-
-def spell_number(n: int) -> str:
-    if n < 0:
-        return "minus " + spell_number(-n)
-    if n < 20:
-        return _ONES[n]
-    if n < 100:
-        return _TENS[n // 10] + ("" if n % 10 == 0 else " " + _ONES[n % 10])
-    for div, name in ((10 ** 9, "billion"), (10 ** 6, "million"),
-                      (10 ** 3, "thousand"), (100, "hundred")):
-        if n >= div:
-            rest = n % div
-            head = spell_number(n // div) + " " + name
-            return head if rest == 0 else head + " " + spell_number(rest)
-    return _ONES[0]
+from minimax_speech_tpu.infer.textnorm import (contains_chinese,
+                                               is_only_punctuation,
+                                               normalize_en, normalize_zh,
+                                               spell_number)
 
 
 def normalize_text(text: str) -> str:
-    """English-oriented normalization mirroring the wetext/inflect path:
-    spell out integers, unify punctuation, collapse whitespace."""
-    text = text.strip()
-    text = text.replace("“", '"').replace("”", '"')
-    text = text.replace("‘", "'").replace("’", "'")
-    text = re.sub(r"(\d+)", lambda m: " " + spell_number(int(m.group(1)))
-                  + " ", text)
-    text = re.sub(r"\s+", " ", text)
-    return text.strip()
+    """Language-routed normalization (reference: frontend.py:121-149):
+    zh branch when the text contains Chinese characters, else the
+    English wetext/inflect-equivalent path."""
+    if contains_chinese(text):
+        return normalize_zh(text)
+    return normalize_en(text)
 
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?。！？;；])\s*")
-
-
-def split_paragraph(text: str, tokenize, token_max_n: int = 80,
-                    token_min_n: int = 60, merge_len: int = 20,
+def split_paragraph(text: str, tokenize, lang: str = "en",
+                    token_max_n: int = 80, token_min_n: int = 60,
+                    merge_len: int = 20,
                     comma_split: bool = False) -> list[str]:
-    """Split text into chunks of <= token_max_n tokens at sentence
-    boundaries, merging short tails
-    (reference: utils/frontend_utils.py:65-120 semantics)."""
-    sents = [s for s in _SENT_SPLIT.split(text) if s.strip()]
+    """Sentence-boundary splitting with max/min token budgets and
+    short-tail merging (reference: utils/frontend_utils.py:65-120):
+    zh counts characters and splits on zh+latin punctuation; en counts
+    tokens and splits on latin sentence punctuation. Closing quotes
+    attach to the preceding sentence."""
+    if lang == "zh":
+        pounc = ["。", "？", "！", "；", "：", "、", ".", "?", "!", ";"]
+    else:
+        pounc = [".", "?", "!", ";", ":"]
     if comma_split:
-        expanded = []
-        for s in sents:
-            expanded.extend(p for p in re.split(r"(?<=[,，])\s*", s) if p)
-        sents = expanded
-    chunks, cur, cur_n = [], "", 0
-    for s in sents:
-        n = len(tokenize(s))
-        if cur and cur_n + n > token_max_n:
-            chunks.append(cur.strip())
-            cur, cur_n = "", 0
-        cur += (" " if cur else "") + s
-        cur_n += n
+        pounc.extend(["，", ","])
+    if not text:
+        return []
+    if text[-1] not in pounc:
+        text += "。" if lang == "zh" else "."
+
+    def length(s: str) -> int:
+        return len(s) if lang == "zh" else len(tokenize(s))
+
+    utts, st = [], 0
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c in pounc:
+            if len(text[st:i]) > 0:
+                utts.append(text[st:i] + c)
+            if i + 1 < len(text) and text[i + 1] in ['"', "”"]:
+                if utts:
+                    utts[-1] = utts[-1] + text[i + 1]
+                st = i + 2
+            else:
+                st = i + 1
+        i += 1
+
+    final, cur = [], ""
+    for utt in utts:
+        if length(cur + utt) > token_max_n and length(cur) > token_min_n:
+            final.append(cur)
+            cur = ""
+        cur = cur + utt
     if cur:
-        if chunks and cur_n < merge_len:
-            chunks[-1] = chunks[-1] + " " + cur.strip()
+        if length(cur) < merge_len and final:
+            final[-1] = final[-1] + cur
         else:
-            chunks.append(cur.strip())
-    return chunks
+            final.append(cur)
+    return [u.strip() for u in final if u.strip()]
 
 
 class ByteTokenizer:
@@ -126,6 +127,13 @@ class QwenTokenizer:
 
 
 def get_tokenizer(token_path: Optional[str] = None):
+    """token_path: HF Qwen dir -> QwenTokenizer; a .tiktoken asset ->
+    WhisperTikTokenizer (reference: tokenizer/tokenizer.py:169-236);
+    None -> hermetic byte fallback."""
+    if token_path and str(token_path).endswith(".tiktoken"):
+        from minimax_speech_tpu.infer.whisper_tokenizer import \
+            WhisperTikTokenizer
+        return WhisperTikTokenizer(token_path)
     if token_path:
         return QwenTokenizer(token_path)
     return ByteTokenizer()
@@ -139,10 +147,19 @@ class Frontend:
         self.tokenizer = get_tokenizer(token_path)
 
     def text_normalize(self, text: str, split: bool = True) -> list[str]:
-        text = normalize_text(text)
-        if not split:
+        """Always returns a list; [normalized] when split=False."""
+        if text == "":
             return [text]
-        return split_paragraph(text, self.tokenizer.encode)
+        if contains_chinese(text):
+            norm = normalize_zh(text)
+            lang = "zh"
+        else:
+            norm = normalize_en(text)
+            lang = "en"
+        if not split:
+            return [norm]
+        texts = split_paragraph(norm, self.tokenizer.encode, lang=lang)
+        return [t for t in texts if not is_only_punctuation(t)]
 
     def extract_text_tokens(self, text: str):
         import numpy as np

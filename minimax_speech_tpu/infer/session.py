@@ -110,7 +110,8 @@ class StreamingSession:
     config.yaml:19,69)."""
 
     def __init__(self, pipeline, token_hop: int = 25, lookahead: int = 3,
-                 overlap_frames: int = 8):
+                 overlap_frames: int = 8, chunked: bool = True,
+                 unet_window: int = 100):
         self.p = pipeline
         self.token_hop = token_hop
         self.lookahead = lookahead
@@ -119,6 +120,18 @@ class StreamingSession:
         self.window = np.hamming(2 * self.overlap_samples)
         self.stream = TokenStream(self.p.lm, self.p.lm_vars,
                                   max_steps=self.p.cfg.max_speech_tokens)
+        self.chunked = chunked
+        if chunked:
+            # O(chunk)-per-hop flow with persistent caches
+            # (infer/stream_flow.py) instead of the reference's full-prefix
+            # rerun per hop (cli/model.py:285-319)
+            from minimax_speech_tpu.infer.stream_flow import \
+                ChunkedFlowSession
+            max_tok = 512 + self.p.cfg.max_speech_tokens + 64
+            self.cfs = ChunkedFlowSession(
+                self.p.flow, self.p.flow_vars, self.p.noise,
+                token_hop=token_hop, lookahead=lookahead,
+                max_tokens=max_tok, window=unet_window)
         if self.p.cfg.output_type == "mel":
             # HiFT keeps NSF source continuity across chunks via a spliced
             # source cache (reference: cli/model.py:285-319 + hift
@@ -143,6 +156,9 @@ class StreamingSession:
                       cfg.max_speech_tokens)
 
         self._src_cache = None        # per-utterance HiFT source cache
+        self._feat_buf = np.zeros((0, cfg.flow.output_size), np.float32)
+        self._consumed = 0            # tokens already flowed (chunked mode)
+        self._prefilled = False
         tokens: list[int] = []
         emitted_frames = 0            # latent frames already turned into audio
         prev_tail: Optional[np.ndarray] = None  # held-back overlap audio
@@ -163,9 +179,14 @@ class StreamingSession:
             if done and not tokens:
                 break
             finalize = done
-            feat = self._flow_chunk(np.asarray(tokens, np.int32),
-                                    prompt_speech_tokens, prompt_feat,
-                                    flow_emb, finalize)
+            if self.chunked:
+                feat = self._flow_chunk_cached(tokens, prompt_speech_tokens,
+                                               prompt_feat, flow_emb,
+                                               finalize)
+            else:
+                feat = self._flow_chunk(np.asarray(tokens, np.int32),
+                                        prompt_speech_tokens, prompt_feat,
+                                        flow_emb, finalize)
             chunk = feat[emitted_frames:]
             if chunk.shape[0] == 0:
                 if finalize:
@@ -197,6 +218,40 @@ class StreamingSession:
             yield StreamChunk(audio=emit, tokens=len(tokens), final=finalize)
             if finalize:
                 break
+
+    def _flow_chunk_cached(self, tokens: list, prompt_tokens, prompt_feat,
+                           flow_emb, finalize: bool) -> np.ndarray:
+        """Incremental flow: only NEW tokens are processed each hop, against
+        the persistent encoder/UNet caches (infer/stream_flow.py). Returns
+        the accumulated generated-region feats, same contract as
+        _flow_chunk."""
+        look = self.lookahead
+        if not self._prefilled:
+            # force prompt feat to exactly ratio x prompt tokens, as the
+            # reference frontend does (_extract_speech_feat,
+            # cli/frontend.py:115-119 token_len = min(feat//2, token))
+            ratio = self.p.cfg.token_latent_ratio
+            plen = min(len(prompt_tokens), prompt_feat.shape[0] // ratio)
+            self.cfs.prefill(np.asarray(prompt_tokens[:plen], np.int32),
+                             np.asarray(prompt_feat[: ratio * plen],
+                                        np.float32), flow_emb,
+                             np.asarray(tokens[:look], np.int32))
+            self._prefilled = True
+        if finalize:
+            rest = np.asarray(tokens[self._consumed:], np.int32)
+            if len(rest):
+                self._feat_buf = np.concatenate(
+                    [self._feat_buf, self.cfs.final(rest)])
+                self._consumed = len(tokens)
+        else:
+            c = self._consumed
+            chunk = np.asarray(tokens[c: c + self.token_hop], np.int32)
+            ctx = np.asarray(tokens[c + self.token_hop:
+                                    c + self.token_hop + look], np.int32)
+            self._feat_buf = np.concatenate(
+                [self._feat_buf, self.cfs.step(chunk, ctx)])
+            self._consumed = c + self.token_hop
+        return self._feat_buf
 
     def _flow_chunk(self, gen_tokens, prompt_tokens, prompt_feat, flow_emb,
                     finalize: bool) -> np.ndarray:

@@ -158,3 +158,78 @@ def solve_euler(estimator_apply: Callable, params, x: jnp.ndarray,
 
     x, _ = jax.lax.scan(step, x, (ts, dts))
     return x
+
+
+def _euler_grid(n_timesteps: int, cfg: CFMConfig):
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+    if cfg.t_scheduler == "cosine":
+        t_span = cosine_schedule(t_span)
+    return t_span[:-1], t_span[1:] - t_span[:-1]
+
+
+def solve_euler_collect(estimator_apply, params, x: jnp.ndarray,
+                        mu: jnp.ndarray, mask: jnp.ndarray,
+                        spks: jnp.ndarray, cond: jnp.ndarray,
+                        n_timesteps: int, cfg: CFMConfig, collect_len,
+                        window: int = 100):
+    """Chunked-streaming PREFILL: full Euler solve over the (padded)
+    prompt that also collects the estimator's streaming cache at each
+    of the n_timesteps steps. estimator_apply must forward
+    collect_len/window kwargs to the UNet and return (velocity, cache).
+    Returns (x_final, caches) with len(caches) == n_timesteps; each
+    cache batches the CFG cond/uncond branches (leading dim 2B)."""
+    b = x.shape[0]
+    ts, dts = _euler_grid(n_timesteps, cfg)
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    rate = cfg.inference_cfg_rate
+
+    def step(x, t_dt):
+        t, dt = t_dt
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), t, x.dtype)
+        d2, cache = estimator_apply(params, x2, mask2, mu2, t2, spks2,
+                                    cond2, False, collect_len=collect_len,
+                                    window=window)
+        dphi = (1.0 + rate) * d2[:b] - rate * d2[b:]
+        return x + dt.astype(x.dtype) * dphi.astype(x.dtype), cache
+
+    # scan (not a python loop): ONE estimator trace for all steps — the
+    # UNet's 56-block body is large and a 10x unroll multiplies XLA
+    # compile time ~10x. Caches come back stacked on a leading step axis.
+    x, caches = jax.lax.scan(step, x, (ts, dts))
+    return x, caches
+
+
+def solve_euler_chunk(estimator_apply, params, x: jnp.ndarray,
+                      mu: jnp.ndarray, spks: jnp.ndarray,
+                      cond: jnp.ndarray, n_timesteps: int, cfg: CFMConfig,
+                      caches, offset, q_valid, window: int = 100):
+    """One streaming hop of the Euler solve: x/mu/cond are the CHUNK
+    frames (B, cq, D) starting at absolute frame `offset`; caches is the
+    STACKED (leading step axis) cache pytree from solve_euler_collect /
+    previous hops. O(chunk) work per hop. Returns (x_final, new_caches)."""
+    b, cq, _ = x.shape
+    ts, dts = _euler_grid(n_timesteps, cfg)
+    mask = (jnp.arange(cq) < q_valid)[None, :].astype(x.dtype)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    rate = cfg.inference_cfg_rate
+
+    def step(x, scan_in):
+        t, dt, cache = scan_in
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), t, x.dtype)
+        d2, new_cache = estimator_apply(params, x2, mask2, mu2, t2, spks2,
+                                        cond2, False, cache=cache,
+                                        cache_offset=offset, q_valid=q_valid,
+                                        window=window)
+        dphi = (1.0 + rate) * d2[:b] - rate * d2[b:]
+        return x + dt.astype(x.dtype) * dphi.astype(x.dtype), new_cache
+
+    x, new_caches = jax.lax.scan(step, x, (ts, dts, caches))
+    return x, new_caches

@@ -10,6 +10,15 @@ Layout is (B, T, C) throughout. Attention masks arrive as (B, T, T)
 boolean chunk masks (True = attend); softmax runs in fp32 with
 masked-fill -inf then re-zero, matching forward_attention
 (reference: transformer/attention.py:82-123).
+
+Two execution modes:
+  * full-sequence (`__call__`) — training and one-shot inference;
+  * chunked (`chunk`) — streaming inference with a PREALLOCATED
+    max-length KV cache updated in place at a dynamic offset, the
+    TPU-native equivalent of the reference's growing att_cache in
+    BaseEncoder.forward_chunk (reference: transformer/encoder.py:184-274
+    and attention.py:288-306). Static shapes: the cache is (2, B, M, H,
+    D) at max length M; validity is carried as a key-length scalar.
 """
 from __future__ import annotations
 
@@ -53,29 +62,44 @@ class RelPositionAttention(nn.Module):
     n_feat: int
     key_bias: bool = True
 
-    @nn.compact
+    def setup(self):
+        c = self.n_feat
+        self.linear_q = nn.Dense(c)
+        self.linear_k = nn.Dense(c, use_bias=self.key_bias)
+        self.linear_v = nn.Dense(c)
+        self.linear_pos = nn.Dense(c, use_bias=False)
+        self.linear_out = nn.Dense(c)
+        self.pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(),
+            (self.n_head, c // self.n_head))
+        self.pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(),
+            (self.n_head, c // self.n_head))
+
+    def _qkv(self, x):
+        b, t, c = x.shape
+        h, d = self.n_head, c // self.n_head
+        q = self.linear_q(x).reshape(b, t, h, d)
+        k = self.linear_k(x).reshape(b, t, h, d)
+        v = self.linear_v(x).reshape(b, t, h, d)
+        return q, k, v
+
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
                  pos_emb: jnp.ndarray,
                  kv_cache: Optional[jnp.ndarray] = None):
         b, t, c = x.shape
         h, d = self.n_head, c // self.n_head
-        q = nn.Dense(c, name="linear_q")(x).reshape(b, t, h, d)
-        k = nn.Dense(c, use_bias=self.key_bias, name="linear_k")(x).reshape(b, t, h, d)
-        v = nn.Dense(c, name="linear_v")(x).reshape(b, t, h, d)
+        q, k, v = self._qkv(x)
 
         if kv_cache is not None:
             k = jnp.concatenate([kv_cache[0], k], axis=1)
             v = jnp.concatenate([kv_cache[1], v], axis=1)
         new_cache = jnp.stack([k, v])
 
-        p = nn.Dense(c, use_bias=False, name="linear_pos")(pos_emb)
-        p = p.reshape(1, -1, h, d)
+        p = self.linear_pos(pos_emb).reshape(1, -1, h, d)
 
-        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, d))
-        vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, d))
-
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
-        bd = jnp.einsum("bqhd,bphd->bhqp", q + vb, p)
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + self.pos_bias_u, k)
+        bd = jnp.einsum("bqhd,bphd->bhqp", q + self.pos_bias_v, p)
         if bd.shape != ac.shape:
             bd = _rel_shift(bd)
         scores = (ac + bd) / np.sqrt(d)
@@ -86,7 +110,59 @@ class RelPositionAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.where(m, attn, 0.0).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)
-        return nn.Dense(c, name="linear_out")(out), new_cache
+        return self.linear_out(out), new_cache
+
+    def chunk(self, x: jnp.ndarray, kv_cache: jnp.ndarray,
+              offset: jnp.ndarray, key_valid_len: jnp.ndarray,
+              pos_table: jnp.ndarray, q_valid_len: jnp.ndarray):
+        """One streaming chunk against a preallocated cache.
+
+        x: (B, cq, C) new frames starting at absolute position `offset`;
+        kv_cache: (2, B, M, H, D) preallocated; pos_table:
+        (1, 2M-1, C) espnet rel-pos table for max length M;
+        key_valid_len: keys < this absolute index are attendable
+        (normally offset + valid frames in this chunk).
+        Returns (out (B, cq, C), updated cache).
+
+        The rel-pos bd term is computed against the full table then
+        gathered at rel = (q_abs - k_abs), replacing the rel_shift trick
+        (which assumes queries are the last cq of the keys — untrue for
+        a preallocated cache).
+        """
+        b, cq, c = x.shape
+        h, d = self.n_head, c // self.n_head
+        m_len = kv_cache.shape[2]
+        q, k, v = self._qkv(x)
+
+        kv_cache = jax.lax.dynamic_update_slice(
+            kv_cache, jnp.stack([k, v]).astype(kv_cache.dtype),
+            (0, 0, offset, 0, 0))
+        kc, vc = kv_cache[0].astype(x.dtype), kv_cache[1].astype(x.dtype)
+
+        p = self.linear_pos(pos_table).reshape(-1, h, d)  # (2M-1, H, D)
+
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + self.pos_bias_u, kc)
+        bd_full = jnp.einsum("bqhd,rhd->bhqr", q + self.pos_bias_v, p)
+        # table index r holds rel position (M-1-r); key j at abs j, query
+        # a at abs offset+a -> rel = offset+a-j -> r = M-1-offset-a+j
+        a_idx = jnp.arange(cq)[:, None]
+        j_idx = jnp.arange(m_len)[None, :]
+        ridx = jnp.clip((m_len - 1) - (offset + a_idx) + j_idx,
+                        0, 2 * m_len - 2)
+        bd = jnp.take_along_axis(
+            bd_full, jnp.broadcast_to(ridx[None, None],
+                                      (b, h, cq, m_len)), axis=-1)
+        scores = (ac + bd) / np.sqrt(d)
+
+        key_ok = j_idx < key_valid_len                     # (1, M)
+        q_ok = (jnp.arange(cq) < q_valid_len)[:, None]     # (cq, 1)
+        m = (key_ok & q_ok)[None, None]                    # (1, 1, cq, M)
+        neg_inf = jnp.finfo(jnp.float32).min
+        scores = jnp.where(m, scores.astype(jnp.float32), neg_inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(m, attn, 0.0).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vc).reshape(b, cq, c)
+        return self.linear_out(out), kv_cache
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -139,30 +215,52 @@ class ConformerEncoderLayer(nn.Module):
     use_cnn: bool = False
     cnn_kernel: int = 15
     key_bias: bool = True
+    d_model: int = 512
 
-    @nn.compact
+    def setup(self):
+        if self.macaron:
+            self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-12)
+            self.feed_forward_macaron = PositionwiseFeedForward(
+                self.linear_units)
+        self.norm_mha = nn.LayerNorm(epsilon=1e-12)
+        self.self_attn = RelPositionAttention(self.n_head, self.d_model,
+                                              self.key_bias)
+        if self.use_cnn:
+            self.norm_conv = nn.LayerNorm(epsilon=1e-12)
+            self.conv_module = ConvolutionModule(self.cnn_kernel)
+            self.norm_final = nn.LayerNorm(epsilon=1e-12)
+        self.norm_ff = nn.LayerNorm(epsilon=1e-12)
+        self.feed_forward = PositionwiseFeedForward(self.linear_units)
+
     def __call__(self, x, attn_mask, pos_emb, pad_mask):
         ff_scale = 0.5 if self.macaron else 1.0
         if self.macaron:
-            h = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
-            x = x + ff_scale * PositionwiseFeedForward(
-                self.linear_units, name="feed_forward_macaron")(h)
+            h = self.norm_ff_macaron(x)
+            x = x + ff_scale * self.feed_forward_macaron(h)
 
-        h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
-        att, _ = RelPositionAttention(self.n_head, x.shape[-1],
-                                      self.key_bias, name="self_attn")(
-            h, attn_mask, pos_emb)
+        h = self.norm_mha(x)
+        att, _ = self.self_attn(h, attn_mask, pos_emb)
         x = x + att
 
         if self.use_cnn:
-            h = nn.LayerNorm(epsilon=1e-12, name="norm_conv")(x)
-            x = x + ConvolutionModule(self.cnn_kernel,
-                                      name="conv_module")(h, pad_mask)
+            h = self.norm_conv(x)
+            x = x + self.conv_module(h, pad_mask)
 
-        h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
-        x = x + ff_scale * PositionwiseFeedForward(
-            self.linear_units, name="feed_forward")(h)
+        h = self.norm_ff(x)
+        x = x + ff_scale * self.feed_forward(h)
 
         if self.use_cnn:
-            x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
+            x = self.norm_final(x)
         return x
+
+    def chunk(self, x, kv_cache, offset, key_valid_len, pos_table,
+              q_valid_len):
+        """Streaming chunk step (attention-only layer config; the flow
+        encoder uses no macaron/conv modules). Returns (x, new_cache)."""
+        h = self.norm_mha(x)
+        att, kv_cache = self.self_attn.chunk(
+            h, kv_cache, offset, key_valid_len, pos_table, q_valid_len)
+        x = x + att
+        h = self.norm_ff(x)
+        x = x + self.feed_forward(h)
+        return x, kv_cache

@@ -83,17 +83,44 @@ class FlowModel(nn.Module):
                 jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
         return self.speaker_encoder(reference_mel, reference_mask)
 
-    def encode_tokens(self, token, token_len, context=None, streaming=False):
+    def encode_tokens(self, token, token_len, context=None, streaming=False,
+                      chunk_align=None):
         """tokens (B, T) -> (B, 2T, 80) projected encoder output."""
         t = token.shape[1]
         m = mask_ops.make_non_pad_mask(token_len, t).astype(jnp.float32)
         h = self.input_embedding(jnp.clip(token, 0, None)) * m[..., None]
         h, h_len = self.encoder(h, token_len, context=context,
-                                streaming=streaming)
+                                streaming=streaming, chunk_align=chunk_align)
         return self.encoder_proj(h), h_len
 
-    def estimate(self, x, mask, mu, t, spks, cond, streaming=False):
-        return self.estimator(x, mask, mu, t, spks, cond, streaming=streaming)
+    def estimate(self, x, mask, mu, t, spks, cond, streaming=False, **kw):
+        return self.estimator(x, mask, mu, t, spks, cond,
+                              streaming=streaming, **kw)
+
+    # -- chunked streaming (O(chunk) per hop; infer/stream_flow.py) ----------
+    def stream_encode_prefill(self, token_buf, plen, cache):
+        """Prompt-unit encode. token_buf: (B, P) int32 holding the prompt
+        in [0, plen) and the first pre_lookahead_len tokens of the next
+        chunk at [plen, plen+L) (rest arbitrary). Returns
+        (mu (B, 2P, 80) — valid through 2*plen — and the encoder cache)."""
+        h = self.input_embedding(jnp.clip(token_buf, 0, None))
+        out, cache = self.encoder.prefill(h, plen, cache)
+        return self.encoder_proj(out), cache
+
+    def stream_encode_chunk(self, tokens, cache, offset, q_valid, ctx=None):
+        """One hop: tokens (B, cq) starting at absolute token position
+        `offset`; ctx (B, L) = the next chunk's first L tokens (None for
+        the final chunk). Returns (mu (B, cq*2, 80), cache)."""
+        h = self.input_embedding(jnp.clip(tokens, 0, None))
+        ctx_h = (self.input_embedding(jnp.clip(ctx, 0, None))
+                 if ctx is not None else None)
+        out, cache = self.encoder.chunk_step(h, cache, offset, q_valid,
+                                             context=ctx_h)
+        return self.encoder_proj(out), cache
+
+    def project_speaker(self, embedding):
+        """(B, 192) -> (B, 80) spk conditioning for the estimator."""
+        return self.spk_embed_affine_layer(embedding)
 
     def __call__(self, token, token_len, feat, feat_len, embedding,
                  key, streaming: bool = False):
@@ -127,7 +154,7 @@ class FlowModel(nn.Module):
 
     def prepare_inference(self, token, token_len, prompt_feat, embedding,
                           streaming: bool = False, finalize: bool = True,
-                          prompt_feat_len=None):
+                          prompt_feat_len=None, chunk_align=None):
         """Everything before the ODE solve: encoder output `mu`, projected
         speaker embedding, prompt conditioning, frame mask.
 
@@ -139,7 +166,8 @@ class FlowModel(nn.Module):
 
         if finalize:
             mu, h_len = self.encode_tokens(token, token_len,
-                                           streaming=streaming)
+                                           streaming=streaming,
+                                           chunk_align=chunk_align)
         else:
             body = token[:, : -c.pre_lookahead_len]
             ctx_tokens = token[:, -c.pre_lookahead_len:]
@@ -214,6 +242,32 @@ def flow_inference(model: FlowModel, variables, token, token_len,
     feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
                            c.n_timesteps, c.cfm, streaming=streaming)
     return feat[:, mel_len1:]
+
+
+def flow_inference_unit_grid(model: FlowModel, variables, token, token_len,
+                             prompt_feat, prompt_len, embedding, noise,
+                             window: int = 100):
+    """Full-sequence streaming inference on the PROMPT-ANCHORED unit grid
+    with a finite UNet attention window — the reference implementation of
+    exactly what the chunked path (infer/stream_flow.py) computes
+    incrementally; used to verify it. prompt_len: traced prompt token
+    count (prompt_feat must be its 2x frames, possibly padded)."""
+    c = model.cfg
+    mu, mask, spks, conds = model.apply(
+        variables, token, token_len, prompt_feat, embedding,
+        True, True, None, prompt_len,
+        method=FlowModel.prepare_inference)
+    tf = mu.shape[1]
+
+    def est_apply(_, x, m_, mu_, t_, s_, c_, streaming_):
+        return model.apply(variables, x, m_, mu_, t_, s_, c_, streaming_,
+                           method=FlowModel.estimate, window=window,
+                           unit_align=prompt_len * c.token_latent_ratio)
+
+    z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
+    feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
+                           c.n_timesteps, c.cfm, streaming=True)
+    return feat
 
 
 def flow_inference_batched(model: FlowModel, variables, token, token_len,

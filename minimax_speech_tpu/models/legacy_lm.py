@@ -47,7 +47,7 @@ class TransformerStack(nn.Module):
         pos = cf.espnet_rel_pos_emb(x.shape[1], x.shape[-1], x.dtype)
         for i in range(self.n_blocks):
             x = cf.ConformerEncoderLayer(
-                self.heads, self.linear_units,
+                self.heads, self.linear_units, d_model=x.shape[-1],
                 name=f"layer_{i}")(x, attn_mask, pos, pad)
         return nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
 

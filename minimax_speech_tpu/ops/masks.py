@@ -58,6 +58,30 @@ def add_optional_chunk_mask(pad_mask: jnp.ndarray, static_chunk_size: int,
     return jnp.broadcast_to(pad_mask, (pad_mask.shape[0], t, t))
 
 
+def unit_chunk_mask(size: int, prompt_len, chunk: int,
+                    window: int = -1) -> jnp.ndarray:
+    """(size, size) bool chunk mask on a PROMPT-ANCHORED grid.
+
+    Unit 0 = positions [0, prompt_len) (the prompt); unit k>=1 =
+    positions [prompt_len + (k-1)*chunk, prompt_len + k*chunk). A query
+    attends all keys up to the end of its own unit; `window >= 0`
+    additionally limits left context to `window` frames before the
+    query's unit start (the cacheable equivalent of the reference's
+    num_decoding_left_chunks, transformer/encoder.py:184-274, with the
+    grid shifted so streaming hops are whole units). prompt_len may be
+    a traced scalar.
+    """
+    pos = jnp.arange(size)
+    in_prompt = pos < prompt_len
+    k = jnp.maximum(pos - prompt_len, 0) // chunk
+    unit_end = jnp.where(in_prompt, prompt_len, prompt_len + (k + 1) * chunk)
+    mask = pos[None, :] < unit_end[:, None]
+    if window >= 0:
+        unit_start = jnp.where(in_prompt, 0, prompt_len + k * chunk)
+        mask = mask & (pos[None, :] >= (unit_start - window)[:, None])
+    return mask
+
+
 def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """bool mask -> additive attention bias (0 where True, -1e10 where False).
 

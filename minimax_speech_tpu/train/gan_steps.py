@@ -164,10 +164,23 @@ def make_dpo_step(model, ref_params, beta: float = 0.01,
     utils/train_utils.py:327-344 pairing + utils/losses.py:24-57).
     batch holds chosen and rejected plans (suffix _rej)."""
 
+    def spk_of(params, batch):
+        """spk conditioning: direct spk_emb or in-step speaker encoding
+        from reference mels (same contract as steps.make_lm_loss_fn)."""
+        if "spk_emb" in batch:
+            return batch["spk_emb"]
+        import jax.numpy as jnp
+        mask = None
+        if "reference_mel_len" in batch:
+            t = batch["reference_mel"].shape[1]
+            mask = (jnp.arange(t)[None] < batch["reference_mel_len"][:, None])
+        return model.apply({"params": params}, batch["reference_mel"], mask,
+                           method=type(model).embed_speaker)
+
     def seq_logp(params, batch, suffix=""):
         return model.apply({"params": params}, batch["src_type" + suffix],
                            batch["tok_id" + suffix], batch["target" + suffix],
-                           batch["seq_len" + suffix], batch["spk_emb"],
+                           batch["seq_len" + suffix], spk_of(params, batch),
                            method=type(model).sequence_logp)
 
     def step(state: TrainState, batch):

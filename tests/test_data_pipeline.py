@@ -87,3 +87,69 @@ def test_resample_changes_rate(rng):
     out = next(iter(dp.resample(iter([s]))))
     assert out["sample_rate"] == 24000
     assert abs(len(out["audio"]) - 12000) <= 1
+
+
+def test_dpo_pipeline_end_to_end(rng, tmp_path):
+    """DPO plumbing (VERDICT round-1 item #6): reject sidecars flow from
+    disk through the opener -> filter -> padding_llm(dpo=True) into
+    `_rej` plan tensors, and one make_dpo_step trains on them
+    (reference pairing: dataset/processor.py:691-703 +
+    utils/train_utils.py:327-344)."""
+    import struct
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.models import llm as llm_mod
+    from minimax_speech_tpu.train import gan_steps, schedule, steps
+
+    # write wav + sidecars incl. _fsq_reject
+    for i in range(3):
+        stem = tmp_path / f"utt{i}"
+        audio = synthetic_audio(rng, 1.5, sr=24000)
+        with wave.open(str(stem) + ".wav", "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            pcm = (audio * 32000).astype(np.int16)
+            w.writeframes(struct.pack(f"<{len(pcm)}h", *pcm))
+        (tmp_path / f"utt{i}.txt").write_text(f"sample text {i}")
+        n_tok = 12 + i
+        np.save(str(stem) + "_fsq.npy",
+                rng.integers(0, 40, n_tok).astype(np.int32))
+        np.save(str(stem) + "_latent2x.npy",
+                rng.standard_normal((n_tok * 2, 80)).astype(np.float32))
+        np.save(str(stem) + "_fsq_reject.npy",
+                rng.integers(0, 40, n_tok + 2).astype(np.int32))
+
+    source = ({"src": str(tmp_path / f"utt{i}.wav")} for i in range(3))
+    stages = [
+        dp.individual_file_opener,
+        lambda it: dp.tokenize(it, CharTokenizer()),
+        dp.filter_lengths,
+        lambda it: dp.static_batch(it, 3),
+        lambda it: dp.padding_llm(it, bistream_prob=0.0, dpo=True,
+                                  eos=40, fill=42),
+    ]
+    batches = list(dp.build_dataset(source, stages))
+    assert len(batches) == 1
+    b = batches[0]
+    for k in ("src_type", "tok_id", "target", "seq_len"):
+        assert k + "_rej" in b
+        assert b[k + "_rej"].shape == b[k].shape  # same bucket
+    assert (b["seq_len_rej"] != b["seq_len"]).any()
+
+    # one DPO step end-to-end on the pipeline batch
+    from tests.test_gan import SMALL_LM
+    model = llm_mod.SpeechLM(SMALL_LM)
+    variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["spk_emb"] = jnp.zeros((3, 32))
+    tx = schedule.make_optimizer(lr=1e-4, warmup_steps=1)
+    state = steps.make_train_state(variables["params"], tx)
+    step = jax.jit(gan_steps.make_dpo_step(model, variables["params"]))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["dpo/loss"]))
+    assert np.isfinite(float(metrics["dpo/chosen_reward"]))
+    assert np.isfinite(float(metrics["dpo/rejected_reward"]))

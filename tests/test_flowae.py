@@ -159,3 +159,96 @@ def test_dito_infer_cli(tmp_path, rng):
     dito_infer.main(["--wav", str(p), "--out", str(out), "--random_init",
                      "--n_steps", "2"])
     assert out.exists()
+
+
+def test_zdm_train_and_sample(rng):
+    """ZDM prior over DiTo latents: trains (loss decreases-ish / finite),
+    samples z, decodes audio, eval metrics finite (VERDICT round-1
+    item #10; reference: ldm_base.py ZDM paths)."""
+    from minimax_speech_tpu.flowae import zdm as zdm_lib
+
+    ae = DiToAudio(TINY_DITO)
+    audio = jnp.asarray(rng.standard_normal((2, 64, 1)), jnp.float32)
+    ae_vars = ae.init(jax.random.PRNGKey(0), audio, jax.random.PRNGKey(1),
+                      0.0, method=DiToAudio.loss)
+
+    zcfg = zdm_lib.ZDMConfig(
+        z_dim=TINY_DITO.z_dim,
+        net=zdm_lib.DiTConfig(hidden=32, depth=2, num_heads=2, patch=1,
+                              in_channels=TINY_DITO.z_dim,
+                              out_channels=TINY_DITO.z_dim, cond_dim=0),
+        n_steps=4)
+    zdm = zdm_lib.ZDMNet(zcfg)
+    n_z = 64 // int(np.prod(TINY_DITO.enc_strides))
+    zvars = zdm.init(jax.random.PRNGKey(2),
+                     jnp.zeros((2, n_z, zcfg.z_dim)), jnp.zeros((2,)))
+
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1)
+    state = steps.make_train_state(zvars["params"], tx)
+    ema = state.params
+    step = jax.jit(zdm_lib.make_zdm_step(zdm, ae, ae_vars))
+    for i in range(3):
+        state, ema, m = step(state, ema, {"audio": audio},
+                             jax.random.PRNGKey(10 + i))
+        assert np.isfinite(float(m["zdm/loss"]))
+
+    wav = zdm_lib.zdm_generate(zdm, {"params": state.params}, ae, ae_vars,
+                               batch_size=2, z_frames=n_z, out_len=64,
+                               key=jax.random.PRNGKey(5), render_steps=3)
+    assert wav.shape == (2, 64, 1)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    ev = zdm_lib.eval_zdm(zdm, {"params": state.params}, ae, ae_vars,
+                          audio, jax.random.PRNGKey(6))
+    assert np.isfinite(float(ev["zdm_eval/loss"]))
+    assert np.isfinite(float(ev["zdm_eval/sample_std"]))
+
+
+def test_zdm_zaug_and_normalize():
+    from minimax_speech_tpu.flowae import zdm as zdm_lib
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((4, 8, 16)) * 3 + 1, jnp.float32)
+    zn = zdm_lib.normalize_latents(z)
+    np.testing.assert_allclose(np.asarray(zn.mean(-1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zn.std(-1)), 1.0, atol=1e-2)
+    cfg = zdm_lib.ZDMConfig(zaug_p=1.0)  # always augment
+    za = zdm_lib.zaug(jax.random.PRNGKey(0), zn, cfg)
+    assert za.shape == zn.shape
+    assert not np.allclose(np.asarray(za), np.asarray(zn))
+
+
+def test_vqgan_roundtrip_and_steps(rng):
+    """VQGAN: quantized AE trains with GAN + perceptual heads
+    (VERDICT round-1 item #10; reference: vqgan/*)."""
+    from minimax_speech_tpu.flowae import vqgan as vq
+
+    cfg = vq.VQGANConfig(in_channels=3, ch=8, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=8, n_embed=32,
+                         embed_dim=8)
+    model = vq.VQGAN(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    rec, q_loss, idx = model.apply(variables, x)
+    assert rec.shape == x.shape
+    assert idx.shape == (2, 8, 8)
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 32).all()
+    assert np.isfinite(float(q_loss))
+
+    disc = vq.NLayerDiscriminator(ndf=8, n_layers=2)
+    d_vars = disc.init(jax.random.PRNGKey(1), x)
+    lpips = vq.LPIPS(vq.VGGFeatures(widths=(8, 16), convs_per_stage=(1, 1)))
+    p_vars = lpips.init(jax.random.PRNGKey(2), x, x)
+    # identical inputs -> zero perceptual distance
+    assert abs(float(lpips.apply(p_vars, x, x))) < 1e-6
+
+    tx = schedule.make_optimizer(lr=1e-4, warmup_steps=1)
+    g_state = steps.make_train_state(variables["params"], tx)
+    d_state = steps.make_train_state(d_vars["params"], tx)
+    gen_step, disc_step = vq.make_vqgan_steps(
+        model, disc, perceptual=lpips, perceptual_vars=p_vars)
+    batch = {"image": x}
+    d_state, dm = jax.jit(disc_step)(d_state, g_state.params, batch)
+    g_state, gm = jax.jit(gen_step)(g_state, d_state.params, batch)
+    assert np.isfinite(float(gm["vq/loss"]))
+    assert np.isfinite(float(gm["vq/adaptive_w"]))
+    assert np.isfinite(float(dm["disc/loss"]))

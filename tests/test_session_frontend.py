@@ -44,7 +44,8 @@ def test_fade_in_out():
 
 
 @pytest.mark.slow
-def test_streaming_session(rng):
+@pytest.mark.parametrize("chunked", [True, False])
+def test_streaming_session(rng, chunked):
     cfg = tiny_cfg()
     cfg.max_speech_tokens = 40
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
@@ -55,7 +56,8 @@ def test_streaming_session(rng):
     prompt_mel = pipe.extract_prompt_mel(prompt_24k)
     lm_spk, flow_emb = pipe.speaker_embedding(prompt_mel)
 
-    sess = StreamingSession(pipe, token_hop=8, lookahead=3, overlap_frames=2)
+    sess = StreamingSession(pipe, token_hop=8, lookahead=3, overlap_frames=2,
+                            chunked=chunked)
     text = rng.integers(0, 256, 6)
     ptext = rng.integers(0, 256, 2)
     chunks = list(sess.synthesize_stream(text, ptext, prompt_tokens,
@@ -66,10 +68,15 @@ def test_streaming_session(rng):
     assert all(not c.final for c in chunks[:-1])
     total = np.concatenate([c.audio for c in chunks])
     assert np.isfinite(total).all()
-    # emitted frames = (prompt_tokens + gen_tokens)*2 - prompt_latent_frames
-    # (the prompt's latent length need not be exactly 2x its token count)
-    expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
-                     - prompt_latent.shape[0])
+    if chunked:
+        # chunked sessions force prompt feat = ratio x prompt tokens (the
+        # reference frontend contract) so emitted frames = gen tokens * 2
+        expect_frames = chunks[-1].tokens * 2
+    else:
+        # full-prefix path: (prompt + gen)*2 - prompt_latent_frames (the
+        # prompt's latent length need not be exactly 2x its token count)
+        expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
+                         - prompt_latent.shape[0])
     assert len(total) == expect_frames * 480
 
 

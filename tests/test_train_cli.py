@@ -90,3 +90,30 @@ def test_train_hift_cli_smoke(tmp_path, rng):
     import json
     row = json.loads(metrics[-1])
     assert "gen/loss" in row and "gen/mel" in row and "disc/loss" in row
+
+
+@pytest.mark.slow
+def test_train_cli_dpo_epoch(tmp_path, rng):
+    """DPO fine-tuning through the train CLI: reject sidecars -> _rej
+    plans -> make_dpo_step, rewards logged (VERDICT round-1 item #6)."""
+    from minimax_speech_tpu.cli import train as train_cli
+    lst = make_corpus(tmp_path, rng)
+    for i in range(6):
+        n_tok = len(np.load(tmp_path / f"utt{i}_fsq.npy"))
+        np.save(tmp_path / f"utt{i}_fsq_reject.npy",
+                rng.integers(0, 6561, max(n_tok - 2, 1)).astype(np.int32))
+    model_dir = tmp_path / "exp_dpo"
+    train_cli.main([
+        "--model", "llm", "--config", "configs/tiny.yaml",
+        "--train_data", str(lst),
+        "--model_dir", str(model_dir), "--max_epoch", "1", "--dp", "2",
+        "--dpo",
+        "--override", "train.save_per_step=100",
+        "--override", "train.log_interval=1",
+        "--override", "train.max_frames_in_batch=300",
+    ])
+    metrics_file = model_dir / "llm_metrics.jsonl"
+    rows = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+    assert any("dpo/loss" in r for r in rows)
+    assert any("dpo/chosen_reward" in r and "dpo/rejected_reward" in r
+               for r in rows)
