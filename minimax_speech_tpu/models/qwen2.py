@@ -41,15 +41,26 @@ class Qwen2Config:
     rms_eps: float = 1e-6
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 weight-only projections (decode path)
+    act_quant: bool = True   # + dynamic per-row int8 activations (W8A8):
+    # an int8 x int8 dot runs natively on the MXU and streams int8 weights
+    # from HBM; weight-only int8 with bf16 activations makes XLA
+    # materialize a dequantized weight copy, forfeiting the bandwidth win
     remat: bool = False      # jax.checkpoint each layer (training memory)
 
 
 class QuantDense(nn.Module):
-    """Weight-only int8 Dense: kernel stored int8 with per-output-channel
-    scales; dequantization fuses into the matmul, halving the HBM bytes
-    streamed per decode step (the AR decode is weight-bandwidth-bound)."""
+    """int8 Dense: kernel stored int8 with per-output-channel scales.
+
+    act_quant=True (default): dynamic per-row symmetric int8 activation
+    quantization -> an int8 x int8 MXU dot accumulating in int32 that
+    STREAMS int8 weights from HBM (the AR decode is
+    weight-bandwidth-bound, so this is the real 2x over bf16).
+    act_quant=False: weight-only path (bf16 activations) — simpler
+    numerics, but XLA materializes a dequantized weight copy for the
+    dot, so the bandwidth win is mostly lost."""
     features: int
     use_bias: bool = True
+    act_quant: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -57,9 +68,19 @@ class QuantDense(nn.Module):
                        lambda key, s: jnp.zeros(s, jnp.int8),
                        (x.shape[-1], self.features))
         scale = self.param("scale", nn.initializers.ones, (self.features,))
-        y = jnp.dot(x, k.astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = (y * scale).astype(x.dtype)
+        if self.act_quant:
+            amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            x_scale = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.round(x / x_scale).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, k, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * x_scale.astype(jnp.float32)
+                 * scale).astype(x.dtype)
+        else:
+            y = jnp.dot(x, k.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            y = (y * scale).astype(x.dtype)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,))
@@ -68,7 +89,8 @@ class QuantDense(nn.Module):
 
 def _dense(cfg: Qwen2Config, features: int, use_bias: bool, name: str):
     if cfg.quantized:
-        return QuantDense(features, use_bias=use_bias, name=name)
+        return QuantDense(features, use_bias=use_bias,
+                          act_quant=cfg.act_quant, name=name)
     return nn.Dense(features, use_bias=use_bias, name=name)
 
 

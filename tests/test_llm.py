@@ -208,8 +208,10 @@ def test_legacy_transformer_lm(rng):
     assert 0.0 <= float(acc) <= 1.0
 
 
-def test_int8_quantized_qwen_matches_fp32(rng):
-    """Weight-only int8 backbone must track the fp32 one closely."""
+@pytest.mark.parametrize("act_quant", [False, True])
+def test_int8_quantized_qwen_matches_fp32(rng, act_quant):
+    """int8 backbone (weight-only and W8A8 dynamic-activation) must track
+    the fp32 one closely."""
     m32 = qwen2.Qwen2Model(TINY)
     b, t = 1, 6
     x = jnp.asarray(rng.standard_normal((b, t, 32)).astype(np.float32) * 0.3)
@@ -219,11 +221,12 @@ def test_int8_quantized_qwen_matches_fp32(rng):
     ref, _ = m32.apply(params, x, positions, bias)
 
     import dataclasses
-    qcfg = dataclasses.replace(TINY, quantized=True)
+    qcfg = dataclasses.replace(TINY, quantized=True, act_quant=act_quant)
     mq = qwen2.Qwen2Model(qcfg)
     qparams = {"params": qwen2.quantize_lm_params(
         {"llm": params["params"]})["llm"]}
     out, _ = mq.apply(qparams, x, positions, bias)
     err = np.abs(np.asarray(out) - np.asarray(ref))
     rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-9)
-    assert rel < 0.05, f"int8 relative error {rel}"
+    assert rel < (0.08 if act_quant else 0.05), \
+        f"int8 relative error {rel}"
