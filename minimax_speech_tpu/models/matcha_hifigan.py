@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,9 +131,15 @@ class Denoiser:
                 (1, mel_frames, n_mels)), jnp.float32)
         else:
             raise ValueError(mode)
-        bias_audio = vocoder_apply(mel)[0]
-        mag, _ = self._stft(bias_audio)
-        self.bias_spec = mag[:1]  # first frame's magnitude column
+
+        # jit everything touching complex dtypes: the TPU backend only
+        # supports complex FFT/arith through XLA-compiled programs
+        def bias(m):
+            mag, _ = self._stft(vocoder_apply(m)[0])
+            return mag[:1]  # first frame's magnitude column
+
+        self.bias_spec = jax.jit(bias)(mel)
+        self._denoise = jax.jit(self._denoise_impl)
 
     def _stft(self, audio: jnp.ndarray):
         p = self.n_fft // 2
@@ -144,11 +151,15 @@ class Denoiser:
         phase = jnp.arctan2(jnp.imag(spec), jnp.real(spec))
         return mag, phase
 
-    def __call__(self, audio: jnp.ndarray,
-                 strength: float = 0.0005) -> jnp.ndarray:
-        """audio: (T,) -> (T',) denoised."""
+    def _denoise_impl(self, audio: jnp.ndarray,
+                      strength: jnp.ndarray) -> jnp.ndarray:
         mag, phase = self._stft(audio)
         mag = jnp.clip(mag - self.bias_spec * strength, 0.0, None)
         real = (mag * jnp.cos(phase)).T
         imag = (mag * jnp.sin(phase)).T
         return mel_ops.istft(real, imag, self.n_fft, self.hop)
+
+    def __call__(self, audio: jnp.ndarray,
+                 strength: float = 0.0005) -> jnp.ndarray:
+        """audio: (T,) -> (T',) denoised."""
+        return self._denoise(audio, jnp.float32(strength))
