@@ -27,7 +27,7 @@ flow/decoder.py:306-307 num_decoding_left_chunks=2). Two extra modes:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -49,10 +49,13 @@ class DecoderUNetConfig:
     act_fn: str = "gelu"
     static_chunk_size: int = 50  # latent frames (2x token chunk)
     num_left_chunks: int = -1
-    # use the Pallas flash-attention kernel (block-sparse chunk masks)
-    # when shapes tile onto it (T % 128 == 0, head_dim % 128-lane ok);
-    # otherwise fall back to XLA attention transparently
-    use_flash_attention: bool = False
+    # Pallas flash attention (block-sparse chunk masks). None = auto:
+    # on exactly where it measures faster than XLA on v5e
+    # (scripts/bench_attention.py, chained-program timing): long-form
+    # windowed attention T>=2048 with a bounded left window (1.15x at
+    # T=2048, 1.49x at T=4096); XLA wins at production one-shot shapes
+    # T<=1024 (0.76-0.96x) so auto leaves those on XLA.
+    use_flash_attention: Optional[bool] = None
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0
@@ -237,7 +240,12 @@ class CausalConditionalDecoder(nn.Module):
                 (key_ok & q_ok)[None, None], jnp.float32)
         else:
             boolmask = mask > 0
-            if cfg.use_flash_attention and tlen % 128 == 0 and not collect:
+            use_flash = cfg.use_flash_attention
+            if use_flash is None:  # auto: the measured win region only
+                use_flash = (tlen >= 2048 and streaming
+                             and cfg.num_left_chunks >= 0
+                             and unit_align is None)
+            if use_flash and tlen % 128 == 0 and not collect:
                 flash_ctx = {"kv_len": jnp.sum(boolmask, axis=1,
                                                dtype=jnp.int32),
                              "chunk": cfg.static_chunk_size if streaming
