@@ -155,7 +155,19 @@ def manifest(args):
         txt.append(f"{utt} {text}")
     (out / "wav.scp").write_text("\n".join(scp) + "\n")
     (out / "text").write_text("\n".join(txt) + "\n")
-    print(f"wrote {len(scp)} entries -> {out}/wav.scp, {out}/text")
+    # utt2spk / spk2utt (LibriTTS convention: spk = utt prefix before _)
+    spk2utt: dict = {}
+    u2s = []
+    for line in scp:
+        utt = line.split()[0]
+        spk = utt.split("_")[0]
+        u2s.append(f"{utt} {spk}")
+        spk2utt.setdefault(spk, []).append(utt)
+    (out / "utt2spk").write_text("\n".join(u2s) + "\n")
+    (out / "spk2utt").write_text("\n".join(
+        f"{s} {' '.join(us)}" for s, us in sorted(spk2utt.items())) + "\n")
+    print(f"wrote {len(scp)} entries -> {out}/{{wav.scp,text,utt2spk,"
+          f"spk2utt}}")
 
 
 def main(argv=None):

@@ -98,26 +98,56 @@ def attach_sidecars(sample: dict, token_latent_ratio: int = 2
         print(f"opener skip {sample.get('src')}: {e}")
 
 
+def _expand_src(src: str) -> Iterator[str]:
+    """One data-list entry -> wav paths. A `.json` entry is an index
+    file ({"items": [{"wav": ...}]} from data_tools index, or the
+    reference's {"data": [...]}) and a directory entry globs
+    `*/*/*.wav` (reference: tools/inv_file_processor.py:25-45)."""
+    if src.endswith(".json"):
+        import json as _json
+        idx = _json.loads(Path(src).read_text())
+        rows = idx.get("items", idx.get("data", []))
+        for r in rows:
+            yield r["wav"] if isinstance(r, dict) else r
+    elif Path(src).is_dir():
+        yield from sorted(str(p) for p in Path(src).rglob("*.wav"))
+    else:
+        yield src
+
+
 def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2
                            ) -> Iterator[dict]:
-    """Read wav + sidecars per item (reference: processor.py:31-189)."""
+    """Read wav + sidecars per item (reference: processor.py:31-189;
+    json-index / directory sources per inv_file_processor.py)."""
     for sample in data:
-        try:
-            audio, sr = _load_audio(sample["src"])
-        except Exception as e:
-            print(f"opener skip {sample.get('src')}: {e}")
-            continue
-        sample["audio"] = audio
-        sample["sample_rate"] = sr
-        yield from attach_sidecars(sample, token_latent_ratio)
+        for wav in _expand_src(str(sample["src"])):
+            item = {**sample, "src": wav}
+            try:
+                audio, sr = _load_audio(wav)
+            except Exception as e:
+                print(f"opener skip {wav}: {e}")
+                continue
+            item["audio"] = audio
+            item["sample_rate"] = sr
+            yield from attach_sidecars(item, token_latent_ratio)
 
 
 def _load_array(stem: str) -> np.ndarray:
-    for suffix, loader in ((".npy", np.load), (".pt", _load_pt)):
+    for suffix, loader in ((".npy", np.load), (".npz", _load_npz),
+                           (".pt", _load_pt)):
         p = Path(stem + suffix)
         if p.exists():
             return loader(str(p))
-    raise FileNotFoundError(stem + ".{npy,pt}")
+    raise FileNotFoundError(stem + ".{npy,npz,pt}")
+
+
+def _load_npz(path: str) -> np.ndarray:
+    """{z, mu, ...} archive (extract_dac_latents convention): prefer mu."""
+    z = np.load(path)
+    for k in ("mu", "z", "tokens"):
+        if k in z.files:
+            return z[k]
+    return z[z.files[0]]
 
 
 def _load_pt(path: str):

@@ -84,8 +84,10 @@ class WNConv(nn.Module):
                         + 1e-12)
         kernel = (g[None, None, :] / norm) * v
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        # compute in the parameter dtype (bf16 params -> bf16 conv; raw
+        # lax.conv requires matching operand dtypes, unlike nn.Conv)
         y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(self.stride,),
+            x.astype(kernel.dtype), kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"))
@@ -121,7 +123,7 @@ class WNConvTranspose(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         k, p, op = self.kernel_size, self.padding, self.output_padding
         y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1,),
+            x.astype(w.dtype), w, window_strides=(1,),
             padding=[(k - 1 - p, k - 1 - p + op)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WOI", "NWC"))

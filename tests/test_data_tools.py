@@ -117,3 +117,37 @@ def test_metrics_logger_and_timer(tmp_path):
     snap = tm.snapshot_and_reset()
     assert "time/phase_a" in snap and snap["time/phase_a"] >= 0
     assert tm.snapshot_and_reset() == {}
+
+
+def test_opener_json_index_and_dir_sources(tmp_path, rng):
+    """A data-list entry may be a .json index or a directory
+    (reference: tools/inv_file_processor.py:25-45)."""
+    import json
+    make_corpus(tmp_path, rng, 2)
+    # via json index (data_tools index format)
+    idx = tmp_path / "index.json"
+    data_tools.main(["index", "--dir", str(tmp_path), "--out", str(idx)])
+    got = list(dp.individual_file_opener([{"src": str(idx)}]))
+    assert len(got) == 2 and all("speech_token" in s for s in got)
+    # via directory
+    got = list(dp.individual_file_opener([{"src": str(tmp_path)}]))
+    assert len(got) == 2
+    # reference-style {"data": [...]} index also accepted
+    (tmp_path / "ref.json").write_text(json.dumps(
+        {"data": [str(tmp_path / "u0.wav")]}))
+    got = list(dp.individual_file_opener([{"src": str(tmp_path / "ref.json")}]))
+    assert len(got) == 1
+
+
+def test_manifest_spk_maps(tmp_path, rng):
+    """utt2spk/spk2utt outputs (reference: local/prepare_data.py)."""
+    for i in range(2):
+        audio = synthetic_audio(rng, 0.2, 24000)
+        write_wav(tmp_path / f"spk{i}_001.wav", audio, 24000)
+        (tmp_path / f"spk{i}_001.txt").write_text("hi")
+    data_tools.main(["manifest", "--dir", str(tmp_path),
+                     "--out_dir", str(tmp_path / "m")])
+    u2s = (tmp_path / "m" / "utt2spk").read_text().strip().splitlines()
+    s2u = (tmp_path / "m" / "spk2utt").read_text().strip().splitlines()
+    assert u2s == ["spk0_001 spk0", "spk1_001 spk1"]
+    assert s2u == ["spk0 spk0_001", "spk1 spk1_001"]
