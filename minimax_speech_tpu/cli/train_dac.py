@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--save_iters", type=int, default=1000)
     p.add_argument("--sample_freq", type=int, default=2000)
     p.add_argument("--log_interval", type=int, default=10)
+    # audiotools-style transform chain (reference: train.py:39-49 +
+    # configs `build_transform.*`; active reference config is
+    # Identity-only with augment_prob 0.0)
+    p.add_argument("--preprocess", nargs="*", default=["Identity"])
+    p.add_argument("--augment", nargs="*", default=["Identity"])
+    p.add_argument("--postprocess", nargs="*", default=["Identity"])
+    p.add_argument("--augment_prob", type=float, default=0.0)
     args = p.parse_args(argv)
 
     import jax
@@ -82,11 +89,24 @@ def main(argv=None):
     encode = jax.jit(lambda v, a: gen.apply(
         v, a, method=dac_vae.DACVAE.encode)[1])
 
+    from minimax_speech_tpu.utils.audio_signal import AudioSignal
+    from minimax_speech_tpu.utils.audio_transforms import build_transform
+    tfm = build_transform(augment_prob=args.augment_prob,
+                          preprocess=args.preprocess, augment=args.augment,
+                          postprocess=args.postprocess)
+    identity_only = (args.preprocess == args.augment == args.postprocess
+                     == ["Identity"])
+
     for i, audio in enumerate(ds.infinite_batches(args.batch_size)):
         step_i = start + i
         if step_i >= args.num_iters:
             break
-        batch = {"audio": jnp.asarray(audio[:, :n])}
+        audio = audio[:, :n]
+        if not identity_only:  # transform batch (reference train.py:620-627)
+            sig = tfm(jax.random.PRNGKey(10_000_019 + step_i),
+                      AudioSignal(audio[:, None, :], cfg.dac.sample_rate))
+            audio = np.asarray(sig.audio_data[:, 0, :])
+        batch = {"audio": jnp.asarray(audio)}
         k = jax.random.PRNGKey(step_i)
         # disc first, then gen (reference order, train.py:675-773)
         d_state, dm = disc_step(d_state, g_state.params, batch, k)

@@ -64,7 +64,9 @@ def test_train_dac_cli_smoke(tmp_path, rng):
         "--duration", "0.1", "--num_iters", "3", "--save_iters", "2",
         "--sample_freq", "2", "--log_interval", "1",
         "--override", "model.dac.encoder_dim=4",
-        "--override", "model.dac.decoder_dim=64"])
+        "--override", "model.dac.decoder_dim=64",
+        "--preprocess", "VolumeNorm", "--postprocess", "RescaleAudio",
+        "--augment_prob", "0.0"])
     metrics = (model_dir / "dac_metrics.jsonl").read_text().splitlines()
     assert metrics
     import json
