@@ -41,7 +41,15 @@ def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray,
 
 
 class TokenStream:
-    """Incremental LLM decode yielding tokens one at a time."""
+    """Incremental LLM decode yielding tokens as they decode.
+
+    Tokens are produced in jitted BURSTS (a `lax.scan` of `burst_size`
+    decode+sample steps per device dispatch, one fused transfer per
+    burst): on the axon tunnel every dispatch after the first
+    device->host transfer costs a flat ~28 ms round trip, so a
+    per-token host loop (the reference's inference_wrapper,
+    llm/llm.py:744-760) would pay ~28 ms/token. The burst size is the
+    streaming hop, so token latency still matches the hop contract."""
 
     def __init__(self, model: llm_mod.SpeechLM, variables, max_steps: int = 512):
         self.model = model
@@ -50,51 +58,113 @@ class TokenStream:
         cfg = model.cfg
         self._prefill = jax.jit(partial(model.apply,
                                         method=llm_mod.SpeechLM.prefill))
-        self._step = jax.jit(partial(model.apply,
-                                     method=llm_mod.SpeechLM.decode_step))
         self._embed_plan = jax.jit(partial(model.apply,
                                            method=llm_mod.SpeechLM.embed_plan))
-        self._embed_tok = jax.jit(partial(
-            model.apply, method=llm_mod.SpeechLM.embed_speech_token))
         self._decoder = jax.jit(
             lambda v, h: model.apply(v, h, method=lambda m, x: m.llm_decoder(x)))
+        self._burst = jax.jit(self._burst_impl, static_argnames=("n", "p"))
 
-    def generate(self, src_type, tok_id, prompt_len, spk_emb, key,
-                 min_len: int, max_len: int) -> Iterator[int]:
+    def _burst_impl(self, variables, carry, n: int, p: int):
+        """Run n sample+decode steps on device. Mirrors llm.generate's
+        while_loop body (models/llm.py:354-391) as a bounded scan."""
         cfg = self.model.cfg
         eos = cfg.eos_token
+        model = self.model
+
+        def apply(method, *args):
+            return model.apply(variables, *args, method=method)
+
+        def body(c, _):
+            key, logits, cache, valid, recent, count, finished, \
+                prompt_len, min_len, max_len, step = c
+            key, k1 = jax.random.split(key)
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            ids = jnp.arange(logp.shape[-1])
+            logp = jnp.where(ids > eos, -jnp.inf, logp)
+            logp = jnp.where((ids == eos) & (count < min_len), -jnp.inf,
+                             logp)
+            tok = sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
+                                          cfg.top_k, cfg.ras_win,
+                                          cfg.ras_tau).astype(jnp.int32)
+            now_eos = (tok == eos) | (count >= max_len)
+            finished = finished | now_eos
+            emit = ~finished
+            out_tok = jnp.where(emit, tok, -1)
+            recent = jnp.where(emit,
+                               sampling_ops.push_recent(recent, tok), recent)
+            pos = prompt_len + count
+            count = count + emit.astype(jnp.int32)
+            emb1 = apply(llm_mod.SpeechLM.embed_speech_token,
+                         jnp.clip(tok, 0, eos - 1)[None, None])
+            logits, cache, valid = apply(llm_mod.SpeechLM.decode_step,
+                                         emb1, pos[None], valid, cache,
+                                         p + step)
+            c = (key, logits, cache, valid, recent, count, finished,
+                 prompt_len, min_len, max_len, step + 1)
+            return c, out_tok
+
+        carry, toks = jax.lax.scan(body, carry, None, length=n)
+        return carry, toks, carry[6]  # (carry, (n,) tokens, finished)
+
+    def start(self, src_type, tok_id, prompt_len, spk_emb, key,
+              min_len: int, max_len: int) -> None:
+        """Prefill the prompt plan and initialize the decode carry."""
+        cfg = self.model.cfg
         b, p = src_type.shape
+        assert b == 1, "TokenStream is single-stream (see stream_batch)"
         emb = self._embed_plan(self.variables, jnp.asarray(src_type),
                                jnp.asarray(tok_id), spk_emb)
-        cache = qwen2.make_cache(cfg.qwen, b, p + self.max_steps, emb.dtype)
+        # +HEADROOM slots: bursts always run a FIXED step count (one
+        # compiled program per burst size); steps past max_len sample
+        # into the headroom and are discarded
+        cache = qwen2.make_cache(cfg.qwen, b,
+                                 p + self.max_steps + self.HEADROOM,
+                                 emb.dtype)
         pad = jnp.arange(p)[None] < jnp.asarray(prompt_len)[:, None]
         positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
         hidden, cache = self._prefill(self.variables, emb, pad, positions,
                                       cache)
         logits = self._decoder(self.variables,
                                hidden[:, int(prompt_len[0]) - 1])
-        valid = jnp.concatenate([pad, jnp.zeros((b, self.max_steps), bool)], 1)
+        valid = jnp.concatenate(
+            [pad, jnp.zeros((b, self.max_steps + self.HEADROOM), bool)], 1)
         recent = jnp.full((cfg.ras_win,), -1, jnp.int32)
+        self._p = p
+        self._emitted = 0
+        self._carry = (key, logits, cache, valid, recent,
+                       jnp.int32(0), jnp.bool_(False),
+                       jnp.int32(int(prompt_len[0])), jnp.int32(min_len),
+                       jnp.int32(max_len), jnp.int32(0))
 
-        for i in range(self.max_steps):
-            key, k1 = jax.random.split(key)
-            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
-            ids = jnp.arange(logp.shape[-1])
-            logp = jnp.where(ids > eos, -jnp.inf, logp)
-            if i < min_len:
-                logp = jnp.where(ids == eos, -jnp.inf, logp)
-            tok = int(sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
-                                              cfg.top_k, cfg.ras_win,
-                                              cfg.ras_tau))
-            if tok == eos or i >= max_len:
+    HEADROOM = 64  # cache slots past max_steps (fixed-size last burst)
+
+    def next_burst(self, n: int) -> tuple[np.ndarray, bool]:
+        """Decode n more steps; ONE dispatch + ONE transfer. n is used
+        as-is so each distinct burst size compiles exactly once.
+        Returns (emitted tokens (<=n,), done)."""
+        assert n <= self.HEADROOM, (n, self.HEADROOM)
+        if self._emitted >= self.max_steps:
+            return np.zeros((0,), np.int32), True
+        self._carry, toks, finished = self._burst(
+            self.variables, self._carry, n=n, p=self._p)
+        toks, finished = jax.device_get((toks, finished))
+        toks = toks[toks >= 0][: self.max_steps - self._emitted]
+        self._emitted += len(toks)
+        done = bool(finished) or self._emitted >= self.max_steps
+        return toks.astype(np.int32), done
+
+    def generate(self, src_type, tok_id, prompt_len, spk_emb, key,
+                 min_len: int, max_len: int,
+                 burst_size: int = 28) -> Iterator[int]:
+        """Token iterator (same contract as the per-token reference
+        loop); fetches device bursts of `burst_size` under the hood."""
+        self.start(src_type, tok_id, prompt_len, spk_emb, key,
+                   min_len, max_len)
+        while True:
+            toks, done = self.next_burst(burst_size)
+            yield from (int(t) for t in toks)
+            if done:
                 return
-            yield tok
-            recent = sampling_ops.push_recent(recent, jnp.int32(tok))
-            emb1 = self._embed_tok(self.variables,
-                                   jnp.full((b, 1), tok, jnp.int32))
-            pos = jnp.asarray(prompt_len) + i
-            logits, cache, valid = self._step(self.variables, emb1, pos,
-                                              valid, cache, p + i)
 
 
 @dataclass
@@ -118,8 +188,19 @@ class StreamingSession:
         self.overlap_frames = overlap_frames
         self.overlap_samples = overlap_frames * 480  # samples per frame
         self.window = np.hamming(2 * self.overlap_samples)
-        self.stream = TokenStream(self.p.lm, self.p.lm_vars,
-                                  max_steps=self.p.cfg.max_speech_tokens)
+        # jitted programs are shared ACROSS sessions via the pipeline
+        # (a fresh TokenStream / ChunkedFlowSession per utterance would
+        # re-trace every program; both reset their per-utterance state
+        # in start()/prefill())
+        shared = getattr(pipeline, "_session_shared", None)
+        if shared is None:
+            shared = pipeline._session_shared = {}
+        skey = ("ts", self.p.cfg.max_speech_tokens)
+        if skey not in shared:
+            shared[skey] = TokenStream(
+                self.p.lm, self.p.lm_vars,
+                max_steps=self.p.cfg.max_speech_tokens)
+        self.stream = shared[skey]
         self.chunked = chunked
         if chunked:
             # O(chunk)-per-hop flow with persistent caches
@@ -128,10 +209,13 @@ class StreamingSession:
             from minimax_speech_tpu.infer.stream_flow import \
                 ChunkedFlowSession
             max_tok = 512 + self.p.cfg.max_speech_tokens + 64
-            self.cfs = ChunkedFlowSession(
-                self.p.flow, self.p.flow_vars, self.p.noise,
-                token_hop=token_hop, lookahead=lookahead,
-                max_tokens=max_tok, window=unet_window)
+            ckey = ("cfs", token_hop, lookahead, max_tok, unet_window)
+            if ckey not in shared:
+                shared[ckey] = ChunkedFlowSession(
+                    self.p.flow, self.p.flow_vars, self.p.noise,
+                    token_hop=token_hop, lookahead=lookahead,
+                    max_tokens=max_tok, window=unet_window)
+            self.cfs = shared[ckey]
         if self.p.cfg.output_type == "mel":
             # HiFT keeps NSF source continuity across chunks via a spliced
             # source cache (reference: cli/model.py:285-319 + hift
@@ -204,8 +288,14 @@ class StreamingSession:
                 self._src_cache = None if finalize else src
                 wav = np.asarray(wav_full).reshape(-1)[emitted_frames * 480:]
             else:
-                wav = np.asarray(self.p._decode(
-                    self.p.codec_vars, jnp.asarray(chunk[None]))).reshape(-1)
+                if not hasattr(self.p, "_decode_pcm"):
+                    dec = self.p._decode
+                    self.p._decode_pcm = jax.jit(lambda v, f: jnp.clip(
+                        dec.__wrapped__(v, f) * 32767.0, -32768.0,
+                        32767.0).astype(jnp.int16))
+                pcm = jax.device_get(self.p._decode_pcm(
+                    self.p.codec_vars, jnp.asarray(chunk[None])))
+                wav = pcm.reshape(-1).astype(np.float32) / 32767.0
             if prev_tail is not None and len(wav) >= self.overlap_samples:
                 wav = fade_in_out(wav, prev_tail, self.window)
             if not finalize:
