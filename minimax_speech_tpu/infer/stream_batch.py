@@ -59,17 +59,59 @@ class BatchStreamingSession:
         m = pipeline.lm
         self._prefill = jax.jit(partial(m.apply,
                                         method=llm_mod.SpeechLM.prefill))
-        self._step = jax.jit(partial(m.apply,
-                                     method=llm_mod.SpeechLM.decode_step))
         self._embed_plan = jax.jit(partial(
             m.apply, method=llm_mod.SpeechLM.embed_plan))
-        self._embed_tok = jax.jit(partial(
-            m.apply, method=llm_mod.SpeechLM.embed_speech_token))
         self._decoder = jax.jit(
             lambda v, h: m.apply(v, h, method=lambda mm, x: mm.llm_decoder(x)))
         self._flow_batched = jax.jit(
             lambda v, tok, tl, pf, pfl, emb, nz: flow_inference_batched(
                 self.p.flow, v, tok, tl, pf, pfl, emb, nz, streaming=True))
+        self._burst = jax.jit(self._burst_impl, static_argnames=("n", "p"))
+
+    HEADROOM = 64  # KV slots past max_steps for fixed-size bursts
+
+    def _burst_impl(self, v, carry, consts, n: int, p: int):
+        """n batched sample+decode steps in ONE dispatch (each host-loop
+        step pays the ~28 ms tunnel RTT — see session.TokenStream)."""
+        cfg = self.p.cfg
+        eos = cfg.lm.eos_token
+        m = self.p.lm
+        plen, min_len, max_len = consts
+
+        def body(c, _):
+            key, logits, cache, valid, recent, counts, done, step = c
+            key, k1 = jax.random.split(key)
+            b = logits.shape[0]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            ids = jnp.arange(logp.shape[-1])
+            logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
+            allow = counts >= min_len
+            logp = jnp.where((ids[None] == eos) & ~allow[:, None],
+                             -jnp.inf, logp)
+            keys = jax.random.split(k1, b)
+            toks = jax.vmap(lambda kk, lp, rc: sampling_ops.ras_sample(
+                kk, lp, rc, cfg.lm.top_p, cfg.lm.top_k, cfg.lm.ras_win,
+                cfg.lm.ras_tau))(keys, logp, recent).astype(jnp.int32)
+            now_eos = (toks == eos) | (counts >= max_len)
+            done = done | now_eos
+            emit = ~done
+            out = jnp.where(emit, toks, -1)
+            recent = jnp.where(
+                emit[:, None],
+                jnp.concatenate([recent[:, 1:], toks[:, None]], axis=1),
+                recent)
+            pos = plen + counts
+            counts = counts + emit.astype(jnp.int32)
+            emb1 = m.apply(v, jnp.clip(toks, 0, eos - 1)[:, None],
+                           method=llm_mod.SpeechLM.embed_speech_token)
+            logits, cache, valid = m.apply(
+                v, emb1, pos, valid, cache, p + step,
+                method=llm_mod.SpeechLM.decode_step)
+            return (key, logits, cache, valid, recent, counts, done,
+                    step + 1), out
+
+        carry, toks = jax.lax.scan(body, carry, None, length=n)
+        return carry, jnp.swapaxes(toks, 0, 1), carry[6]  # (B, n), done(B,)
 
     def run(self, requests: Sequence[Request], key=None
             ) -> Iterator[StreamEvent]:
@@ -101,14 +143,17 @@ class BatchStreamingSession:
 
         emb = self._embed_plan(v, jnp.asarray(src), jnp.asarray(tok), spk)
         max_steps = cfg.max_speech_tokens
-        cache = qwen2.make_cache(cfg.lm.qwen, b, p_max + max_steps, emb.dtype)
+        cache = qwen2.make_cache(cfg.lm.qwen, b,
+                                 p_max + max_steps + self.HEADROOM,
+                                 emb.dtype)
         pad = jnp.arange(p_max)[None] < jnp.asarray(plen)[:, None]
         positions = jnp.broadcast_to(jnp.arange(p_max)[None], (b, p_max))
         hidden, cache = self._prefill(v, emb, pad, positions, cache)
         last = jnp.take_along_axis(
             hidden, jnp.asarray(plen - 1)[:, None, None], axis=1)[:, 0]
         logits = self._decoder(v, last)
-        valid = jnp.concatenate([pad, jnp.zeros((b, max_steps), bool)], 1)
+        valid = jnp.concatenate(
+            [pad, jnp.zeros((b, max_steps + self.HEADROOM), bool)], 1)
         recent = jnp.full((b, cfg.lm.ras_win), -1, jnp.int32)
 
         states = [_StreamState() for _ in range(b)]
@@ -123,34 +168,29 @@ class BatchStreamingSession:
             pfl[i] = r.prompt_feat.shape[0]
         femb = jnp.asarray(np.stack([r.flow_emb for r in requests]))
 
-        for step_i in range(max_steps):
-            if all(s.done for s in states):
-                break
-            key, k1 = jax.random.split(key)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            ids = jnp.arange(logp.shape[-1])
-            counts = np.array([len(s.tokens) for s in states])
-            logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
-            allow = jnp.asarray(counts >= min_len)
-            logp = jnp.where((ids[None] == eos) & ~allow[:, None],
-                             -jnp.inf, logp)
-            keys = jax.random.split(k1, b)
-            toks = jax.vmap(lambda kk, lp, rc: sampling_ops.ras_sample(
-                kk, lp, rc, cfg.lm.top_p, cfg.lm.top_k, cfg.lm.ras_win,
-                cfg.lm.ras_tau))(keys, logp, recent)
-            toks_np = np.asarray(toks)
+        carry = (key, logits, cache, valid, recent,
+                 jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+                 jnp.int32(0))
+        consts = (jnp.asarray(plen), jnp.asarray(min_len, jnp.int32),
+                  jnp.asarray(max_len, jnp.int32))
+        emitted = 0
+        first = True
+        while emitted < max_steps and not all(s.done for s in states):
+            # fixed burst sizes (hop+lookahead first, then hop) so each
+            # size compiles once; ONE dispatch + ONE transfer per burst
+            n = self.token_hop + (self.lookahead if first else 0)
+            first = False
+            carry, toks_bn, done_b = self._burst(v, carry, consts,
+                                                 n=n, p=p_max)
+            toks_bn, done_b = jax.device_get((toks_bn, done_b))
+            emitted += n
             for i, s in enumerate(states):
                 if s.done:
                     continue
-                if toks_np[i] == eos or len(s.tokens) >= max_len[i]:
-                    s.done = True
-                else:
-                    s.tokens.append(int(toks_np[i]))
-                    s.pending += 1
-            recent = jnp.where(
-                jnp.asarray([s.done for s in states])[:, None],
-                recent,
-                jnp.concatenate([recent[:, 1:], toks[:, None]], axis=1))
+                new = toks_bn[i][toks_bn[i] >= 0]
+                s.tokens.extend(int(t) for t in new)
+                s.pending += len(new)
+                s.done = bool(done_b[i])
 
             # hop when every ACTIVE stream is ready (lockstep batching)
             active = [s for s in states if not s.done and not s.flushed]
@@ -160,12 +200,6 @@ class BatchStreamingSession:
                       and s.tokens]
             if ready or finals:
                 yield from self._hop(states, requests, pf, pfl, femb)
-
-            emb1 = self._embed_tok(
-                v, jnp.clip(toks, 0, eos - 1)[:, None])
-            pos = jnp.asarray(plen + step_i)
-            logits, cache, valid = self._step(v, emb1, pos, valid, cache,
-                                              p_max + step_i)
 
         # flush everything that still has audio pending
         for s in states:
