@@ -145,11 +145,12 @@ class TTSPipeline:
             # was ~50 ms of the 208 ms utterance)
             wav = wav.reshape(wav.shape[0], -1)
             spf = 480
-            gen_samples = cfg.max_speech_tokens * cfg.token_latent_ratio * spf
-            start = prompt_feat_len[0] * spf  # skip prompt-region samples
-            wav = jax.lax.dynamic_slice(
-                wav, (0, start), (wav.shape[0], min(gen_samples,
-                                                    wav.shape[1])))
+            gen_samples = min(
+                cfg.max_speech_tokens * cfg.token_latent_ratio * spf,
+                wav.shape[1])
+            # per-row start: each request's own prompt-region length
+            wav = jax.vmap(lambda w, s: jax.lax.dynamic_slice(
+                w, (s * spf,), (gen_samples,)))(wav, prompt_feat_len)
             pcm = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
             return pcm, count
 

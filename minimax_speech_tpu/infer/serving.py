@@ -76,27 +76,15 @@ class BatchSynthesizer:
                                 cfg.max_speech_tokens)
                             for r in requests], np.int32)
 
-        out, count = llm_mod.generate(
-            self.p.lm, self.p.lm_vars, jnp.asarray(src), jnp.asarray(tok),
-            jnp.asarray(plen), spk, key, jnp.asarray(min_len),
-            jnp.asarray(max_len), max_steps=cfg.max_speech_tokens)
-        out = np.asarray(out)
-        count = np.asarray(count)
-        t1 = time.perf_counter()
-
-        # --- batched flow + codec --------------------------------------------
-        # tokens for each request: prompt + generated (compacted, -1 gaps
-        # removed)
-        all_tokens, tls = [], []
+        # prompt tokens + features, padded once
+        pt_pad = next_bucket(max(len(r.prompt_speech_tokens)
+                                 for r in requests),
+                             buckets=(16, 32, 64, 128, 256))
+        ptoks = np.zeros((b, pt_pad), np.int32)
+        ptl = np.zeros((b,), np.int32)
         for i, r in enumerate(requests):
-            gen = out[i][out[i] >= 0][: count[i]]
-            seq = np.concatenate([r.prompt_speech_tokens, gen])
-            all_tokens.append(seq)
-            tls.append(len(seq))
-        t_max = next_bucket(max(tls))
-        tok_b = np.zeros((b, t_max), np.int32)
-        for i, seq in enumerate(all_tokens):
-            tok_b[i, : len(seq)] = seq
+            ptoks[i, : len(r.prompt_speech_tokens)] = r.prompt_speech_tokens
+            ptl[i] = len(r.prompt_speech_tokens)
         pf_max = next_bucket(max(r.prompt_feat.shape[0] for r in requests),
                              buckets=(16, 32, 64, 128, 256))
         pf = np.zeros((b, pf_max, cfg.flow.output_size), np.float32)
@@ -106,27 +94,31 @@ class BatchSynthesizer:
             pfl[i] = r.prompt_feat.shape[0]
         femb = jnp.asarray(np.stack([r.flow_emb for r in requests]))
 
-        feat = self._flow_batched(
-            self.p.flow_vars, jnp.asarray(tok_b), jnp.asarray(tls),
-            jnp.asarray(pf), jnp.asarray(pfl), femb, self.p.noise)
-        feat = np.asarray(feat)
-        t2 = time.perf_counter()
+        # whole batch through the ONE-dispatch fused program
+        # (LM decode -> compact -> flow -> codec -> device-side int16
+        # PCM; pipeline._e2e_fused is batch-generic)
+        pcm, count = self.p._e2e_fused(
+            self.p.lm_vars, self.p.flow_vars, self.p.codec_vars,
+            jnp.asarray(src), jnp.asarray(tok), jnp.asarray(plen), spk,
+            key, jnp.asarray(min_len), jnp.asarray(max_len),
+            jnp.asarray(ptoks), jnp.asarray(ptl), jnp.asarray(pf),
+            jnp.asarray(pfl), femb, self.p.noise)
+        pcm, count = jax.device_get((pcm, count))
+        t1 = time.perf_counter()
 
-        # batched codec decode over the padded frames, slice per request
-        wav_all = np.asarray(self.p._decode(self.p.codec_vars,
-                                            jnp.asarray(feat)))
+        # NOTE: the fused program slices each row at ITS OWN
+        # prompt-feature offset before the transfer, so row i starts at
+        # request i's generated region already
         wavs = []
-        spf = 480  # samples per latent frame
         for i in range(b):
-            lo = int(pfl[i])
-            hi = lo + int(count[i]) * cfg.token_latent_ratio
-            wavs.append(wav_all[i, lo * spf: hi * spf].reshape(-1))
+            n = int(count[i]) * cfg.token_latent_ratio * 480
+            wavs.append(pcm[i, :n].astype(np.float32) / 32767.0)
         t3 = time.perf_counter()
 
         if return_timings:
             audio_s = sum(len(w) for w in wavs) / cfg.sample_rate
-            return wavs, {"lm_s": t1 - t0, "flow_s": t2 - t1,
-                          "vocoder_s": t3 - t2, "total_s": t3 - t0,
+            return wavs, {"lm_s": t1 - t0, "flow_s": 0.0,
+                          "vocoder_s": t3 - t1, "total_s": t3 - t0,
                           "audio_s": audio_s,
                           "tokens": [int(c) for c in count]}
         return wavs
