@@ -40,6 +40,62 @@ class BistreamDecoder:
             model.apply, method=llm_mod.SpeechLM.embed_speech_token))
         self._embed_plan = jax.jit(partial(
             model.apply, method=llm_mod.SpeechLM.embed_plan))
+        self._run_burst = jax.jit(self._run_burst_impl,
+                                  static_argnames=("n", "allow_eos"))
+
+    def _run_burst_impl(self, v, carry, fill_at, n: int, allow_eos: bool):
+        """Up to n sample+extend steps in ONE dispatch (each host step
+        pays the ~28 ms tunnel RTT — see session.TokenStream). fill_at:
+        step index where a fill token is FORCED (-1 = never). A fill
+        (or EOS when allow_eos) stops the run; later steps no-op."""
+        cfg = self.model.cfg
+        eos, fill = cfg.eos_token, cfg.fill_token
+        model = self.model
+
+        def body(c, i):
+            key, logits, cache, valid, recent, slot, pos, stopped = c
+            key, k1 = jax.random.split(key)
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            ids = jnp.arange(logp.shape[-1])
+            logp = jnp.where((ids > eos) & (ids != fill), -jnp.inf, logp)
+            if not allow_eos:
+                logp = jnp.where(ids == eos, -jnp.inf, logp)
+            sampled = sampling_ops.ras_sample(
+                k1, logp, recent, cfg.top_p, cfg.top_k, cfg.ras_win,
+                cfg.ras_tau).astype(jnp.int32)
+            forced = fill_at == i
+            tok = jnp.where(forced, fill, sampled)
+            recent = jnp.where(stopped | forced,
+                               recent, sampling_ops.push_recent(
+                                   recent, tok))
+            if allow_eos:
+                stop_tok = tok == eos      # final decode: run to EOS
+                skip_tok = tok > eos       # stray fill: resample next step
+            else:
+                stop_tok = tok >= eos      # chunk decode: fill ends the run
+                skip_tok = jnp.bool_(False)
+            out = jnp.where(stopped, -1, tok)
+            do_ext = ~(stopped | stop_tok | skip_tok)
+
+            def ext(ops):
+                logits_, cache_, valid_ = ops
+                emb = model.apply(
+                    v, jnp.clip(tok, 0, eos - 1)[None, None],
+                    method=llm_mod.SpeechLM.embed_speech_token)
+                return model.apply(v, emb, pos[None, None], jnp.array([1]),
+                                   valid_, cache_, slot,
+                                   method=llm_mod.SpeechLM.extend)
+
+            logits, cache, valid = jax.lax.cond(
+                do_ext, ext, lambda ops: ops, (logits, cache, valid))
+            slot = slot + do_ext.astype(jnp.int32)
+            pos = pos + do_ext.astype(jnp.int32)
+            stopped = stopped | stop_tok
+            return (key, logits, cache, valid, recent, slot, pos,
+                    stopped), out
+
+        carry, outs = jax.lax.scan(body, carry, jnp.arange(n))
+        return carry, outs
 
     def generate(self, text_chunks: Iterator[np.ndarray],
                  prompt_text: np.ndarray, prompt_speech: np.ndarray,
@@ -91,20 +147,6 @@ class BistreamDecoder:
             emb = self._embed_speech(v, jnp.asarray([toks], jnp.int32))
             append(emb, len(toks))
 
-        def decode_one(k1, ignore_eos: bool):
-            nonlocal recent
-            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
-            ids = jnp.arange(logp.shape[-1])
-            # bistream allows the FILL token; mask eos while ignore_eos
-            logp = jnp.where((ids > eos) & (ids != fill), -jnp.inf, logp)
-            if ignore_eos:
-                logp = jnp.where(ids == eos, -jnp.inf, logp)
-            tok = int(sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
-                                              cfg.top_k, cfg.ras_win,
-                                              cfg.ras_tau))
-            recent = sampling_ops.push_recent(recent, jnp.int32(tok))
-            return tok
-
         text_done = False
         text_iter = iter(text_chunks)
         while not text_done:
@@ -129,20 +171,32 @@ class BistreamDecoder:
                     continue
                 append_text(text_cache[:n_text])
                 text_cache = text_cache[n_text:]
-            # decode until the chunk's fill token
+            # decode until the chunk's fill token, bursting n_speech+1
+            # sample+extend steps per device dispatch
             while len(out_tokens) < max_len:
-                key, k1 = jax.random.split(key)
-                if next_fill != -1 and len(out_tokens) == next_fill:
-                    tok = fill
-                else:
-                    tok = decode_one(k1, ignore_eos=True)
-                if tok == fill:
-                    next_fill = len(out_tokens) + n_speech + 1
-                out_tokens.append(tok)
-                if tok >= eos:
-                    break  # fill -> fetch more text
-                yield tok
-                append_speech([tok])
+                fill_at = (next_fill - len(out_tokens)
+                           if next_fill != -1 else -1)
+                carry = (key, logits, cache, valid, recent,
+                         jnp.int32(slot), jnp.int32(pos), jnp.bool_(False))
+                carry, outs = self._run_burst(
+                    v, carry, jnp.int32(fill_at), n=n_speech + 1,
+                    allow_eos=False)
+                key, logits, cache, valid, recent, slot_d, pos_d, _ = carry
+                outs, slot, pos = jax.device_get((outs, slot_d, pos_d))
+                slot, pos = int(slot), int(pos)
+                hit_fill = False
+                for tok in (int(t) for t in outs if t >= 0):
+                    if len(out_tokens) >= max_len:
+                        break
+                    if tok == fill:
+                        next_fill = len(out_tokens) + n_speech + 1
+                    out_tokens.append(tok)
+                    if tok >= eos:
+                        hit_fill = True
+                        break  # fill -> fetch more text
+                    yield tok
+                if hit_fill:
+                    break
 
         # final: flush remaining text + task id, decode to EOS
         if text_cache:
@@ -151,12 +205,23 @@ class BistreamDecoder:
                                 jnp.full((1, 1), llm_mod.TASK_ID), spk_emb)
         append(task, 1)
         while len(out_tokens) < max_len:
-            key, k1 = jax.random.split(key)
-            tok = decode_one(k1, ignore_eos=False)
-            out_tokens.append(tok)
-            if tok == eos:
+            carry = (key, logits, cache, valid, recent,
+                     jnp.int32(slot), jnp.int32(pos), jnp.bool_(False))
+            carry, outs = self._run_burst(v, carry, jnp.int32(-1),
+                                          n=n_speech + 1, allow_eos=True)
+            key, logits, cache, valid, recent, slot_d, pos_d, _ = carry
+            outs, slot, pos = jax.device_get((outs, slot_d, pos_d))
+            slot, pos = int(slot), int(pos)
+            got_eos = False
+            for tok in (int(t) for t in outs if t >= 0):
+                if len(out_tokens) >= max_len:
+                    break
+                out_tokens.append(tok)
+                if tok == eos:
+                    got_eos = True
+                    break
+                if tok > eos:
+                    continue  # stray fill in final decode: skip
+                yield tok
+            if got_eos:
                 break
-            if tok > eos:
-                continue
-            yield tok
-            append_speech([tok])
