@@ -112,3 +112,33 @@ def test_streaming_session_mel_mode(rng):
     expect_frames = ((len(prompt_tokens) + chunks[-1].tokens) * 2
                      - prompt_mel.shape[0])
     assert len(total) == expect_frames * 480
+
+
+@pytest.mark.slow
+def test_token_stream_burst_invariance(rng):
+    """Burst partitioning must not change the decoded sequence: the
+    device carry (key, KV cache, RAS window) advances identically
+    whether tokens are fetched 28 or 7 at a time."""
+    import jax.numpy as jnp
+    from minimax_speech_tpu.infer import pipeline as pl
+    from minimax_speech_tpu.infer.session import TokenStream
+    from minimax_speech_tpu.models import llm as llm_mod
+
+    cfg = tiny_cfg()
+    cfg.max_speech_tokens = 40
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+    src, tok, plen = llm_mod.build_inference_plan(
+        rng.integers(0, 200, 6), rng.integers(0, 40, 8),
+        use_spk=cfg.lm.use_speaker_encoder)
+    spk = jnp.zeros((1, cfg.lm.llm_input_size))
+    ts = TokenStream(pipe.lm, pipe.lm_vars, max_steps=40)
+
+    def decode(burst):
+        return list(ts.generate(src, tok, plen, spk,
+                                jax.random.PRNGKey(7), 10, 40,
+                                burst_size=burst))
+
+    a = decode(28)
+    b = decode(7)
+    assert a == b, (a, b)
+    assert 10 <= len(a) <= 40
