@@ -84,3 +84,52 @@ def test_unet_flash_attention_matches_dense(rng):
     # compare valid frames only
     np.testing.assert_allclose(np.asarray(ours)[0, :100],
                                np.asarray(golden)[0, :100], atol=3e-5)
+
+
+def test_unet_flash_auto_policy(rng):
+    """use_flash_attention=None auto-selects flash exactly in the
+    measured win region (streaming, T>=2048, bounded left window —
+    scripts/bench_attention.py) and must match the dense path there."""
+    import dataclasses
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    from minimax_speech_tpu.models.decoder_unet import (
+        CausalConditionalDecoder, DecoderUNetConfig)
+
+    cfg = DecoderUNetConfig(in_channels=32, out_channels=8, channels=(16,),
+                            attention_head_dim=64, n_blocks=1,
+                            num_mid_blocks=0, num_heads=2,
+                            static_chunk_size=50, num_left_chunks=2,
+                            use_flash_attention=None)
+    t = 2048
+    x = jnp.asarray(rng.standard_normal((1, t, 8)) * 0.3, jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((1, t, 8)) * 0.3, jnp.float32)
+    mask = jnp.asarray((np.arange(t) < t - 40)[None].astype(np.float32))
+    args = (x, mask, mu, jnp.array([0.4]), jnp.zeros((1, 8)),
+            jnp.zeros((1, t, 8)))
+
+    auto = CausalConditionalDecoder(cfg)
+    params = auto.init(jax.random.PRNGKey(0), *args, streaming=False)
+
+    calls = []
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        calls.append(1)
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        # one-shot (streaming=False): auto must stay on XLA
+        _ = auto.apply(params, *args, streaming=False)
+        assert not calls
+        # long-form streaming window: auto must pick the flash kernel
+        ours = auto.apply(params, *args, streaming=True)
+        assert calls
+    off = CausalConditionalDecoder(
+        dataclasses.replace(cfg, use_flash_attention=False))
+    golden = off.apply(params, *args, streaming=True)
+    n = t - 40
+    np.testing.assert_allclose(np.asarray(ours)[0, :n],
+                               np.asarray(golden)[0, :n],
+                               atol=5e-5, rtol=1e-4)
