@@ -56,6 +56,9 @@ class BatchStreamingSession:
         self.overlap_frames = overlap_frames
         self.overlap_samples = overlap_frames * 480
         self.window = np.hamming(2 * self.overlap_samples)
+        # burst sizes must fit the KV headroom past max_steps
+        assert token_hop + lookahead <= self.HEADROOM, \
+            (token_hop, lookahead, self.HEADROOM)
         m = pipeline.lm
         self._prefill = jax.jit(partial(m.apply,
                                         method=llm_mod.SpeechLM.prefill))

@@ -101,11 +101,28 @@ def load_model(name_or_dir: str, kind: str = "llm", verify: bool = True,
     may materialize the dir first (the download leg — injectable since
     this environment has no network)."""
     d = resolve(name_or_dir)
-    if not d.exists() and fetcher is not None:
+
+    def fetch():
         d.mkdir(parents=True, exist_ok=True)
-        fetcher(name_or_dir, d)
+        try:
+            fetcher(name_or_dir, d)
+        except Exception:
+            # don't leave a half-fetched dir that wedges future loads
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+
+    if not d.exists() and fetcher is not None:
+        fetch()
     if verify:
         problems = verify_model_dir(d)
+        if problems and fetcher is not None:
+            # corrupted/partial artifacts: re-fetch once (reference
+            # re-downloads on sha256 mismatch, __init__.py:99-104)
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+            fetch()
+            problems = verify_model_dir(d)
         if problems:
             raise ValueError(f"model dir {d} failed verification: "
                              f"{problems}")

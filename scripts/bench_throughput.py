@@ -67,8 +67,8 @@ def main():
         audio_s = sum(len(w) for w in wavs) / 24000
         print(f"batch={b}: {audio_s:.1f}s audio in {dt:.3f}s "
               f"-> throughput {audio_s / dt:.1f}x realtime "
-              f"(lm {tim['lm_s']:.3f}s flow {tim['flow_s']:.3f}s "
-              f"voc {tim['vocoder_s']:.3f}s)", flush=True)
+              f"(fused dispatch {tim['e2e_s']:.3f}s "
+              f"host {tim['host_s']:.3f}s)", flush=True)
 
 
 if __name__ == "__main__":

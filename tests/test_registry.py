@@ -63,3 +63,34 @@ def test_fetcher_materializes_dir(tmp_path):
 
     tree = registry.load_model(str(target), kind="llm", fetcher=fetcher)
     assert "b" in tree["params"]
+
+
+def test_refetch_on_corruption(tmp_path):
+    """sha256 mismatch triggers one re-fetch (reference re-downloads,
+    __init__.py:99-104); a failing fetcher doesn't wedge the dir."""
+    d = tmp_path / "rf"
+    calls = []
+
+    def fetcher(name, dd):
+        calls.append(1)
+        save_params(str(dd / "llm.npz"),
+                    {"params": {"w": np.ones((2,), np.float32)}})
+        registry.write_manifest(dd)
+
+    tree = registry.load_model(str(d), kind="llm", fetcher=fetcher)
+    assert len(calls) == 1 and "w" in tree["params"]
+    # corrupt -> next load re-fetches instead of failing forever
+    (d / "llm.npz").write_bytes(b"junk")
+    tree = registry.load_model(str(d), kind="llm", fetcher=fetcher)
+    assert len(calls) == 2 and "w" in tree["params"]
+
+    # failing fetcher cleans up the partial dir
+    d2 = tmp_path / "boom"
+
+    def bad_fetcher(name, dd):
+        (dd / "half.npz").write_bytes(b"partial")
+        raise OSError("network down")
+
+    with pytest.raises(OSError):
+        registry.load_model(str(d2), kind="llm", fetcher=bad_fetcher)
+    assert not d2.exists()
