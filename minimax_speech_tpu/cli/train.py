@@ -39,6 +39,9 @@ def parse_args(argv=None):
                         "<stem>_fsq_reject sidecars; the frozen reference "
                         "policy is --ref_ckpt (default: --init_ckpt)")
     p.add_argument("--ref_ckpt", type=str, default=None)
+    p.add_argument("--export_npz", type=str, default=None,
+                   help="also write final params as a flat .npz (the "
+                        "interchange format the inference CLIs load)")
     return p.parse_args(argv)
 
 
@@ -57,7 +60,9 @@ def build_stages(cfg_train, tokenizer, model_kind: str,
             it, cfg_train.get("max_frames_in_batch", 25000)),
     ]
     if model_kind == "llm":
-        stages.append(lambda it: dp.padding_llm(it, dpo=dpo))
+        stages.append(lambda it: dp.padding_llm(
+            it, dpo=dpo,
+            bistream_prob=cfg_train.get("bistream_prob", 0.5)))
     else:
         stages.append(lambda it: dp.padding_flow(it))
     return stages
@@ -203,6 +208,11 @@ def main(argv=None):
             ex.cv(cv_batches, cv_loss)
     ckpt.save(ex.step, ex.state)
     ckpt.wait()
+    if args.export_npz:
+        from minimax_speech_tpu.utils.params_io import save_params
+        save_params(args.export_npz, {"params": jax.device_get(
+            ex.state.params)})
+        print(f"exported params to {args.export_npz}")
 
 
 if __name__ == "__main__":

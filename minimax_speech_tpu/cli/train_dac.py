@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--augment", nargs="*", default=["Identity"])
     p.add_argument("--postprocess", nargs="*", default=["Identity"])
     p.add_argument("--augment_prob", type=float, default=0.0)
+    p.add_argument("--export_npz", type=str, default=None,
+                   help="also write final generator params as .npz")
     args = p.parse_args(argv)
 
     import jax
@@ -126,6 +128,11 @@ def main(argv=None):
     g_ckpt.wait()
     d_ckpt.save(start + min(args.num_iters, i + 1), d_state)
     d_ckpt.wait()
+    if args.export_npz:
+        from minimax_speech_tpu.utils.params_io import save_params
+        save_params(args.export_npz,
+                    {"params": jax.device_get(g_state.params)})
+        print(f"exported generator params to {args.export_npz}")
     print("dac training done")
 
 

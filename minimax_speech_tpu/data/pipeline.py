@@ -23,6 +23,7 @@ of sample dicts. File IO is pluggable through the opener.
 from __future__ import annotations
 
 import io
+import logging
 import random
 from pathlib import Path
 from typing import Callable, Iterable, Iterator
@@ -403,6 +404,19 @@ def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,
     reference's reject pairing, processor.py:691-703), padded to the
     SAME bucket so chosen/rejected run through one jitted step."""
     for batch in batches:
+        if dpo:
+            # a sample whose _fsq_reject sidecar was absent (sidecar
+            # loads are skip-on-error) must be dropped here, not crash
+            # the epoch — same skip-and-log convention as the openers
+            kept = [s for s in batch if "reject_speech_token" in s]
+            if len(kept) < len(batch):
+                logging.warning(
+                    "padding_llm(dpo): dropping %d/%d samples missing "
+                    "reject_speech_token", len(batch) - len(kept),
+                    len(batch))
+            if not kept:
+                continue
+            batch = kept
         flags = [random.random() < bistream_prob for _ in batch]
 
         def plan_for(token_key, pad_to=None):

@@ -228,6 +228,29 @@ class StreamingSession:
     def synthesize_stream(self, text_tokens, prompt_text_tokens,
                           prompt_speech_tokens, prompt_feat, lm_spk,
                           flow_emb, key=None) -> Iterator[StreamChunk]:
+        """One active stream per pipeline: the jitted programs are
+        shared across sessions, but so are the decode carry and flow
+        caches inside TokenStream/ChunkedFlowSession — interleaving two
+        generators would silently clobber each other's state, so a
+        second concurrent stream raises instead."""
+        shared = self.p._session_shared
+        if shared.get("_active"):
+            raise RuntimeError(
+                "another synthesize_stream generator is active on this "
+                "pipeline; the shared TokenStream/ChunkedFlowSession "
+                "carry state is per-utterance — exhaust or close() the "
+                "other stream first (or use a separate pipeline)")
+        shared["_active"] = True
+        try:
+            yield from self._synthesize_stream(
+                text_tokens, prompt_text_tokens, prompt_speech_tokens,
+                prompt_feat, lm_spk, flow_emb, key)
+        finally:
+            shared["_active"] = False
+
+    def _synthesize_stream(self, text_tokens, prompt_text_tokens,
+                           prompt_speech_tokens, prompt_feat, lm_spk,
+                           flow_emb, key=None) -> Iterator[StreamChunk]:
         cfg = self.p.cfg
         key = key if key is not None else jax.random.PRNGKey(0)
         full_text = np.concatenate([prompt_text_tokens, text_tokens])

@@ -133,6 +133,13 @@ class ChunkedFlowSession:
         embedding: (1, 192); first_ctx: first `lookahead` tokens of the
         first hop."""
         plen = len(prompt_tokens)
+        if plen + self.lookahead > self.max_tokens:
+            raise ValueError(
+                f"prompt of {plen} tokens (+{self.lookahead} lookahead) "
+                f"exceeds the session's preallocated KV cache "
+                f"(max_tokens={self.max_tokens}); raise max_tokens — a "
+                f"clamped dynamic_update_slice would silently corrupt "
+                f"cache slots instead of erroring")
         buckets = [b for b in self.prompt_buckets
                    if b >= plen + self.lookahead]
         p = buckets[0] if buckets else plen + self.lookahead
@@ -150,6 +157,11 @@ class ChunkedFlowSession:
         """One steady-state hop: tokens (hop,), next_ctx (lookahead,).
         Returns (hop*ratio, 80) latent frames."""
         assert len(tokens) == self.hop
+        if self._offset + self.hop + self.lookahead > self.max_tokens:
+            raise ValueError(
+                f"session at offset {self._offset} would exceed the "
+                f"preallocated KV cache (max_tokens={self.max_tokens}) "
+                f"with this {self.hop}-token hop; raise max_tokens")
         x, self._enc_cache, self._unet_caches = self._chunk_fn(
             self.variables, self._enc_cache, self._unet_caches, self._spks,
             jnp.asarray(tokens, jnp.int32)[None],
@@ -162,6 +174,15 @@ class ChunkedFlowSession:
         """Final ragged hop (<= final_bucket tokens, zero right-pad =
         finalize semantics). Returns (len(tokens)*ratio, 80)."""
         n = len(tokens)
+        if n > self.final_bucket:
+            raise ValueError(f"final hop of {n} tokens exceeds "
+                             f"final_bucket={self.final_bucket}")
+        if self._offset + self.final_bucket > self.max_tokens:
+            raise ValueError(
+                f"session at offset {self._offset} would exceed the "
+                f"preallocated KV cache (max_tokens={self.max_tokens}) "
+                f"with the final {self.final_bucket}-token bucket; "
+                f"raise max_tokens")
         buf = np.zeros((1, self.final_bucket), np.int32)
         buf[0, :n] = tokens
         x, self._enc_cache, self._unet_caches = self._final_fn(

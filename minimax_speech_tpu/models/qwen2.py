@@ -71,7 +71,11 @@ class QuantDense(nn.Module):
         if self.act_quant:
             amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
             x_scale = jnp.maximum(amax, 1e-8) / 127.0
-            xq = jnp.round(x / x_scale).astype(jnp.int8)
+            # clamp before the int8 cast: with bf16 activations the
+            # row-max element can round to 128, and float->int out of
+            # range is implementation-defined (typically wraps to -128,
+            # sign-flipping the largest-magnitude activation)
+            xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(
                 xq, k, (((xq.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)

@@ -116,12 +116,28 @@ def load_model(name_or_dir: str, kind: str = "llm", verify: bool = True,
         fetch()
     if verify:
         problems = verify_model_dir(d)
-        if problems and fetcher is not None:
-            # corrupted/partial artifacts: re-fetch once (reference
-            # re-downloads on sha256 mismatch, __init__.py:99-104)
+        # A merely-missing manifest on an otherwise-present dir is NOT
+        # corruption evidence (e.g. locally converted checkpoints the
+        # fetcher could never reproduce) — never delete user data for
+        # that; only re-fetch on actual hash mismatch / missing files.
+        corrupted = [p for p in problems
+                     if not p.startswith("missing manifest")]
+        if problems and fetcher is not None and (corrupted
+                                                 or not d.exists()):
+            # corrupted/partial artifacts: re-fetch once into a temp
+            # dir and atomically swap (reference re-downloads on sha256
+            # mismatch, __init__.py:99-104)
             import shutil
+            import tempfile
+            tmp = Path(tempfile.mkdtemp(dir=str(d.parent),
+                                        prefix=d.name + ".fetch"))
+            try:
+                fetcher(name_or_dir, tmp)
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             shutil.rmtree(d, ignore_errors=True)
-            fetch()
+            tmp.rename(d)
             problems = verify_model_dir(d)
         if problems:
             raise ValueError(f"model dir {d} failed verification: "
