@@ -32,6 +32,16 @@ def parse_args(argv=None):
                    help="data-parallel extent (default: n_devices // tp)")
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator host:port for jax.distributed "
+                        "(with --num_processes/--process_id; omit to "
+                        "auto-detect from the cluster environment)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) before device "
+                        "init — needed because sitecustomize-registered "
+                        "backends ignore the JAX_PLATFORMS env var")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (fp32 optimizer)")
     p.add_argument("--dpo", action="store_true",
@@ -46,7 +56,11 @@ def parse_args(argv=None):
 
 
 def build_stages(cfg_train, tokenizer, model_kind: str,
-                 dpo: bool = False):
+                 dpo: bool = False, static_shapes: bool = False):
+    """static_shapes=True (multi-host SPMD): fixed batch size + fixed
+    sequence pads so every host compiles and runs the SAME program each
+    step (train.batch_size / train.pad_tokens / train.pad_seq /
+    train.pad_ref)."""
     from minimax_speech_tpu.data import pipeline as dp
     stages = [
         lambda it: dp.individual_file_opener(it),
@@ -56,9 +70,23 @@ def build_stages(cfg_train, tokenizer, model_kind: str,
         dp.extract_reference_mel,
         lambda it: dp.shuffle(it, 1000),
         lambda it: dp.sort_by_len(it, 500),
-        lambda it: dp.dynamic_batch(
-            it, cfg_train.get("max_frames_in_batch", 25000)),
     ]
+    if static_shapes:
+        stages.append(lambda it: dp.static_batch(
+            it, cfg_train.get("batch_size", 8), drop_last=True))
+        pad_ref = cfg_train.get("pad_ref", 224)
+        if model_kind == "llm":
+            stages.append(lambda it: dp.padding_llm(
+                it, dpo=dpo,
+                bistream_prob=cfg_train.get("bistream_prob", 0.5),
+                pad_to=cfg_train.get("pad_seq", 1024), pad_ref=pad_ref))
+        else:
+            stages.append(lambda it: dp.padding_flow(
+                it, pad_tokens=cfg_train.get("pad_tokens", 512),
+                pad_ref=pad_ref))
+        return stages
+    stages.append(lambda it: dp.dynamic_batch(
+        it, cfg_train.get("max_frames_in_batch", 25000)))
     if model_kind == "llm":
         stages.append(lambda it: dp.padding_llm(
             it, dpo=dpo,
@@ -72,8 +100,12 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
-        jax.distributed.initialize()
+        from minimax_speech_tpu.utils import distributed as dist_utils
+        dist_utils.initialize(args.coordinator, args.num_processes,
+                              args.process_id)
 
     import jax.numpy as jnp
 
@@ -152,17 +184,34 @@ def main(argv=None):
                         "reference_mel", "reference_mel_len"}
 
     dp_size = mesh.shape["dp"]
+    multi_host = jax.process_count() > 1
+    sharding = mesh_lib.batch_sharding(mesh)
 
-    def put(batch):
-        batch = {k: v for k, v in batch.items() if k in allowed_keys}
-        b = next(iter(batch.values())).shape[0]
-        keep = (b // dp_size) * dp_size
-        if keep == 0:
-            return None  # remainder batch smaller than the dp extent
-        if keep != b:
-            batch = {k: v[:keep] for k, v in batch.items()}
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        return jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+    if multi_host:
+        # every host contributes an equal local slice of the global
+        # batch (DataList already gave each process disjoint items);
+        # static_shapes batching guarantees matching local shapes
+        local_b = tcfg.get("batch_size", 8)
+        assert (local_b * jax.process_count()) % dp_size == 0, (
+            f"global batch {local_b}x{jax.process_count()} must divide "
+            f"the dp extent {dp_size}")
+
+        def put(batch):
+            batch = {k: np.asarray(v) for k, v in batch.items()
+                     if k in allowed_keys}
+            return {k: jax.make_array_from_process_local_data(sharding, v)
+                    for k, v in batch.items()}
+    else:
+        def put(batch):
+            batch = {k: v for k, v in batch.items() if k in allowed_keys}
+            b = next(iter(batch.values())).shape[0]
+            keep = (b // dp_size) * dp_size
+            if keep == 0:
+                return None  # remainder batch smaller than the dp extent
+            if keep != b:
+                batch = {k: v[:keep] for k, v in batch.items()}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            return jax.device_put(batch, sharding)
 
     ex = Executor(steps.jit_step(step_fn), state, logger, ckpt,
                   save_per_step=tcfg.get("save_per_step", 2000),
@@ -173,7 +222,7 @@ def main(argv=None):
     source = dp.DataList(items, process_index=jax.process_index(),
                          process_count=jax.process_count())
     stages = build_stages(tcfg, tokenizer, args.model,
-                          dpo=args.dpo)
+                          dpo=args.dpo, static_shapes=multi_host)
 
     cv_source = None
     if args.cv_data:
@@ -201,6 +250,11 @@ def main(argv=None):
     for epoch in range(max_epoch):
         source.set_epoch(epoch)
         batches = dp.build_dataset(source, stages)
+        if multi_host:
+            # uneven-workload join: yield only batches every host can
+            # match step-for-step (reference: train_utils.py:285-304)
+            from minimax_speech_tpu.utils import distributed as dist_utils
+            batches = dist_utils.uneven_join_batches(batches)
         ex.train_one_epoch(batches)
         logger.log(ex.step, {"epoch": epoch}, force=True)
         if cv_source is not None:
@@ -210,9 +264,17 @@ def main(argv=None):
     ckpt.wait()
     if args.export_npz:
         from minimax_speech_tpu.utils.params_io import save_params
-        save_params(args.export_npz, {"params": jax.device_get(
-            ex.state.params)})
-        print(f"exported params to {args.export_npz}")
+        params = ex.state.params
+        if multi_host:
+            # all-gather tp-sharded params to replicated so every shard
+            # is host-addressable, then write on rank 0 only
+            rep = mesh_lib.replicated(mesh)
+            specs = jax.tree_util.tree_map(lambda _: rep, params)
+            params = jax.jit(lambda p: p, out_shardings=specs)(params)
+        if jax.process_index() == 0:
+            save_params(args.export_npz,
+                        {"params": jax.device_get(params)})
+            print(f"exported params to {args.export_npz}")
 
 
 if __name__ == "__main__":

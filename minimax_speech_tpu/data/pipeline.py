@@ -345,14 +345,18 @@ def dynamic_batch(data, max_frames_in_batch: int = 25000,
         yield buf
 
 
-def static_batch(data, batch_size: int = 16) -> Iterator[list]:
+def static_batch(data, batch_size: int = 16,
+                 drop_last: bool = False) -> Iterator[list]:
+    """drop_last=True is required in multi-host SPMD mode: a trailing
+    smaller batch would give hosts different array shapes in the same
+    jitted step."""
     buf = []
     for s in data:
         buf.append(s)
         if len(buf) >= batch_size:
             yield buf
             buf = []
-    if buf:
+    if buf and not drop_last:
         yield buf
 
 
@@ -365,13 +369,29 @@ def _bucket(n: int, multiple: int = 64) -> int:
 
 
 def padding_flow(batches, token_latent_ratio: int = 2,
-                 bucket_multiple: int = 32) -> Iterator[dict]:
+                 bucket_multiple: int = 32,
+                 pad_tokens: int | None = None,
+                 pad_ref: int | None = None) -> Iterator[dict]:
     """Flow-stage batch: tokens, latents, reference mels, all padded to
-    shared buckets (reference padding: processor.py:559-705)."""
+    shared buckets (reference padding: processor.py:559-705).
+
+    pad_tokens/pad_ref: FIXED pads instead of per-batch buckets —
+    multi-host SPMD needs identical shapes on every host each step;
+    over-long samples are dropped (skip-and-log)."""
     for batch in batches:
+        if pad_tokens is not None:
+            kept = [s for s in batch
+                    if len(s["speech_token"]) <= pad_tokens]
+            if len(kept) < len(batch):
+                logging.warning("padding_flow: dropped %d samples longer "
+                                "than pad_tokens=%d",
+                                len(batch) - len(kept), pad_tokens)
+            if not kept:
+                continue
+            batch = kept
         b = len(batch)
         tl = np.array([len(s["speech_token"]) for s in batch], np.int32)
-        tmax = _bucket(int(tl.max()), bucket_multiple)
+        tmax = pad_tokens or _bucket(int(tl.max()), bucket_multiple)
         token = np.zeros((b, tmax), np.int32)
         feat = np.zeros((b, tmax * token_latent_ratio, 80), np.float32)
         for i, s in enumerate(batch):
@@ -381,22 +401,27 @@ def padding_flow(batches, token_latent_ratio: int = 2,
         out = {"token": token, "token_len": tl, "feat": feat,
                "feat_len": tl * token_latent_ratio}
         if "reference_mels" in batch[0]:
-            rl = np.array([s["reference_mels"][0].shape[0] for s in batch],
-                          np.int32)
-            rmax = _bucket(int(rl.max()), bucket_multiple)
-            ref = np.zeros((b, rmax, 80), np.float32)
-            for i, s in enumerate(batch):
-                ref[i, : rl[i]] = s["reference_mels"][0]
-            out["reference_mel"] = ref
-            out["reference_mel_len"] = rl
+            out.update(_pad_reference_mels(batch, bucket_multiple, pad_ref))
         yield out
+
+
+def _pad_reference_mels(batch, bucket_multiple: int,
+                        pad_ref: int | None = None) -> dict:
+    rl = np.array([min(s["reference_mels"][0].shape[0], pad_ref or 1 << 30)
+                   for s in batch], np.int32)
+    rmax = pad_ref or _bucket(int(rl.max()), bucket_multiple)
+    ref = np.zeros((len(batch), rmax, 80), np.float32)
+    for i, s in enumerate(batch):
+        ref[i, : rl[i]] = s["reference_mels"][0][: rl[i]]
+    return {"reference_mel": ref, "reference_mel_len": rl}
 
 
 def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,
                 bucket_multiple: int = 64,
                 bistream_prob: float = 0.5,
                 dpo: bool = False, eos: int = 6561,
-                fill: int = 6563) -> Iterator[dict]:
+                fill: int = 6563, pad_to: int | None = None,
+                pad_ref: int | None = None) -> Iterator[dict]:
     """Stage-1 LM batch: emits the fixed-shape interleave plan
     (replaces the reference's on-device python interleave,
     llm.py:433-527). With dpo=True, also emits `_rej`-suffixed plan
@@ -431,21 +456,30 @@ def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,
         if dpo:
             rej_probe = plan_for("reject_speech_token")
             longest = max(longest, int(rej_probe["seq_len"].max()))
-        pad_to = _bucket(longest, bucket_multiple)
-        plan = plan_for("speech_token", pad_to)
+        if pad_to is not None:
+            if longest > pad_to:
+                # fixed-shape (multi-host) mode: drop over-long samples
+                keep = [i for i in range(len(batch))
+                        if int(plan["seq_len"][i]) <= pad_to
+                        and (not dpo
+                             or int(rej_probe["seq_len"][i]) <= pad_to)]
+                logging.warning("padding_llm: dropped %d samples longer "
+                                "than pad_to=%d",
+                                len(batch) - len(keep), pad_to)
+                if not keep:
+                    continue
+                batch = [batch[i] for i in keep]
+                flags = [flags[i] for i in keep]
+            pad = pad_to
+        else:
+            pad = _bucket(longest, bucket_multiple)
+        plan = plan_for("speech_token", pad)
         out = dict(plan)
         if dpo:
-            rej = plan_for("reject_speech_token", pad_to)
+            rej = plan_for("reject_speech_token", pad)
             out.update({k + "_rej": v for k, v in rej.items()})
         if "reference_mels" in batch[0]:
-            rl = np.array([s["reference_mels"][0].shape[0] for s in batch],
-                          np.int32)
-            rmax = _bucket(int(rl.max()), 32)
-            ref = np.zeros((len(batch), rmax, 80), np.float32)
-            for i, s in enumerate(batch):
-                ref[i, : rl[i]] = s["reference_mels"][0]
-            out["reference_mel"] = ref
-            out["reference_mel_len"] = rl
+            out.update(_pad_reference_mels(batch, 32, pad_ref))
         yield out
 
 
