@@ -121,6 +121,340 @@ Decoded decode_wav(const std::string& path) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decode (native-format path; the reference loads non-wav corpora
+// through ffmpeg — audiotools/core/ffmpeg.py. Emilia-style corpora ship
+// flac/mp3; FLAC is decoded natively here, wav below; mp3 is out of
+// scope (patent-era huffman/MDCT codec, use flac/wav sources).)
+// Implements the full mandatory subset: CONSTANT / VERBATIM / FIXED /
+// LPC subframes, rice + rice2 + escape residual partitions, wasted
+// bits, left-side / right-side / mid-side stereo decorrelation.
+// ---------------------------------------------------------------------------
+
+class BitReader {
+ public:
+  BitReader(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+
+  bool ok() const { return !fail_; }
+  size_t byte_pos() const { return pos_; }
+
+  uint64_t bits(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      if (pos_ >= len_) {
+        fail_ = true;
+        return 0;
+      }
+      v = (v << 1) | ((data_[pos_] >> (7 - bit_)) & 1);
+      if (++bit_ == 8) {
+        bit_ = 0;
+        ++pos_;
+      }
+    }
+    return v;
+  }
+
+  int64_t sbits(int n) {
+    uint64_t v = bits(n);
+    if (n > 0 && (v >> (n - 1)) & 1) return static_cast<int64_t>(v) - (1LL << n);
+    return static_cast<int64_t>(v);
+  }
+
+  uint32_t unary() {
+    uint32_t q = 0;
+    while (ok() && bits(1) == 0) {
+      if (++q > 1u << 24) {  // corrupt stream guard
+        fail_ = true;
+        return 0;
+      }
+    }
+    return q;
+  }
+
+  void align() {
+    if (bit_) {
+      bit_ = 0;
+      ++pos_;
+    }
+  }
+
+ private:
+  const uint8_t* data_;
+  size_t len_;
+  size_t pos_ = 0;
+  int bit_ = 0;
+  bool fail_ = false;
+};
+
+bool read_utf8_coded(BitReader& br, uint64_t* out) {
+  uint64_t b0 = br.bits(8);
+  int extra = 0;
+  uint64_t v = 0;
+  if ((b0 & 0x80) == 0) {
+    v = b0;
+  } else {
+    uint8_t mask = 0x40;
+    while (b0 & mask) {
+      ++extra;
+      mask >>= 1;
+    }
+    if (extra < 1 || extra > 6) return false;
+    v = b0 & (mask - 1);
+    for (int i = 0; i < extra; ++i) {
+      uint64_t b = br.bits(8);
+      if ((b & 0xC0) != 0x80) return false;
+      v = (v << 6) | (b & 0x3F);
+    }
+  }
+  *out = v;
+  return br.ok();
+}
+
+bool decode_residual(BitReader& br, int blocksize, int pred_order,
+                     std::vector<int64_t>& res) {
+  uint32_t method = static_cast<uint32_t>(br.bits(2));
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t porder = static_cast<uint32_t>(br.bits(4));
+  uint32_t nparts = 1u << porder;
+  if (blocksize % nparts != 0) return false;
+  int idx = pred_order;  // residuals align to SAMPLE indices: res[i] is
+                         // the residual of sample i (warmup has none)
+  for (uint32_t p = 0; p < nparts; ++p) {
+    int count = blocksize >> porder;
+    if (p == 0) count -= pred_order;
+    if (count < 0) return false;
+    uint32_t param = static_cast<uint32_t>(br.bits(plen));
+    if (param == escape) {
+      int nbits = static_cast<int>(br.bits(5));
+      for (int i = 0; i < count; ++i)
+        res[idx++] = nbits ? br.sbits(nbits) : 0;
+    } else {
+      for (int i = 0; i < count; ++i) {
+        uint32_t q = br.unary();
+        uint64_t r = br.bits(param);
+        uint64_t zz = (static_cast<uint64_t>(q) << param) | r;
+        res[idx++] = (zz >> 1) ^ -static_cast<int64_t>(zz & 1);
+      }
+    }
+    if (!br.ok()) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int blocksize, int bps,
+                     std::vector<int64_t>& out) {
+  if (br.bits(1) != 0) return false;  // mandatory zero pad bit
+  uint32_t type = static_cast<uint32_t>(br.bits(6));
+  int wasted = 0;
+  if (br.bits(1)) wasted = 1 + static_cast<int>(br.unary());
+  bps -= wasted;
+  out.assign(blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.sbits(bps);
+    for (int i = 0; i < blocksize; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i) out[i] = br.sbits(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0-4
+    int order = static_cast<int>(type - 8);
+    for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
+    std::vector<int64_t> res(blocksize);
+    if (!decode_residual(br, blocksize, order, res)) return false;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t p = 0;
+      switch (order) {
+        case 0: p = 0; break;
+        case 1: p = out[i - 1]; break;
+        case 2: p = 2 * out[i - 1] - out[i - 2]; break;
+        case 3: p = 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        case 4:
+          p = 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+          break;
+      }
+      out[i] = p + res[i];
+    }
+  } else if (type >= 32) {  // LPC, order 1-32
+    int order = static_cast<int>(type - 31);
+    for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
+    uint32_t prec_code = static_cast<uint32_t>(br.bits(4));
+    if (prec_code == 0xF) return false;
+    int precision = static_cast<int>(prec_code) + 1;
+    int shift = static_cast<int>(br.sbits(5));
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.sbits(precision);
+    std::vector<int64_t> res(blocksize);
+    if (!decode_residual(br, blocksize, order, res)) return false;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coef[j] * out[i - 1 - j];
+      out[i] = (acc >> shift) + res[i];
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (auto& v : out) v = static_cast<int64_t>(
+        static_cast<uint64_t>(v) << wasted);
+  return br.ok();
+}
+
+Decoded decode_flac(const std::vector<uint8_t>& buf,
+                    const std::string& path) {
+  Decoded out;
+  if (buf.size() < 42 || std::memcmp(buf.data(), "fLaC", 4) != 0) {
+    out.error = "not a FLAC file: " + path;
+    return out;
+  }
+  size_t pos = 4;
+  uint32_t sample_rate = 0;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  while (!last && pos + 4 <= buf.size()) {
+    uint8_t hdr = buf[pos];
+    last = hdr & 0x80;
+    uint8_t type = hdr & 0x7F;
+    uint32_t len = (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3];
+    pos += 4;
+    if (pos + len > buf.size()) {
+      out.error = "truncated metadata: " + path;
+      return out;
+    }
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* p = buf.data() + pos;
+      sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
+      channels = ((p[12] >> 1) & 0x7) + 1;
+      bps = (((p[12] & 1) << 4) | (p[13] >> 4)) + 1;
+      total_samples = (static_cast<uint64_t>(p[13] & 0xF) << 32) |
+                      (static_cast<uint64_t>(p[14]) << 24) |
+                      (p[15] << 16) | (p[16] << 8) | p[17];
+    }
+    pos += len;
+  }
+  if (sample_rate == 0 || channels == 0 || channels > 8) {
+    out.error = "bad STREAMINFO: " + path;
+    return out;
+  }
+  out.sample_rate = static_cast<int>(sample_rate);
+  if (total_samples) out.samples.reserve(total_samples);
+
+  static const int kBlk[16] = {0,    192,  576,  1152, 2304, 4608, -1, -2,
+                               256,  512,  1024, 2048, 4096, 8192, 16384,
+                               32768};
+  BitReader br(buf.data() + pos, buf.size() - pos);
+  std::vector<std::vector<int64_t>> ch(channels);
+  const float scale = 1.0f / static_cast<float>(1LL << (bps - 1));
+  while (true) {
+    // locate the next frame sync (14 bits 0b11111111111110)
+    uint64_t sync = br.bits(14);
+    if (!br.ok()) break;  // clean EOF
+    if (sync != 0x3FFE) {
+      out.error = "lost frame sync in " + path;
+      return out;
+    }
+    br.bits(1);                       // reserved
+    br.bits(1);                       // blocking strategy
+    uint32_t bs_code = static_cast<uint32_t>(br.bits(4));
+    uint32_t sr_code = static_cast<uint32_t>(br.bits(4));
+    uint32_t ch_code = static_cast<uint32_t>(br.bits(4));
+    uint32_t ss_code = static_cast<uint32_t>(br.bits(3));
+    br.bits(1);                       // reserved
+    uint64_t frame_no;
+    if (!read_utf8_coded(br, &frame_no)) {
+      out.error = "bad frame number in " + path;
+      return out;
+    }
+    int blocksize;
+    if (bs_code == 6)
+      blocksize = static_cast<int>(br.bits(8)) + 1;
+    else if (bs_code == 7)
+      blocksize = static_cast<int>(br.bits(16)) + 1;
+    else if (kBlk[bs_code] > 0)
+      blocksize = kBlk[bs_code];
+    else {
+      out.error = "reserved blocksize code in " + path;
+      return out;
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    br.bits(8);  // CRC-8 (not verified)
+
+    int frame_bps = bps;
+    static const int kBps[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    if (ss_code != 0 && kBps[ss_code] > 0) frame_bps = kBps[ss_code];
+
+    int nch = channels;
+    int assign = -1;  // 0 = left/side, 1 = right/side, 2 = mid/side
+    if (ch_code <= 7) {
+      nch = static_cast<int>(ch_code) + 1;
+    } else if (ch_code <= 10) {
+      nch = 2;
+      assign = static_cast<int>(ch_code) - 8;
+    } else {
+      out.error = "reserved channel assignment in " + path;
+      return out;
+    }
+    for (int c = 0; c < nch; ++c) {
+      int sub_bps = frame_bps;
+      // the side channel carries one extra bit
+      if ((assign == 0 && c == 1) || (assign == 1 && c == 0) ||
+          (assign == 2 && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(br, blocksize, sub_bps, ch[c])) {
+        out.error = "subframe decode failed in " + path;
+        return out;
+      }
+    }
+    br.align();
+    br.bits(16);  // frame CRC-16 (not verified)
+    if (!br.ok()) {
+      out.error = "truncated frame in " + path;
+      return out;
+    }
+
+    if (assign == 0) {  // left/side: right = left - side
+      for (int i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (assign == 1) {  // right/side: left = right + side
+      for (int i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+    } else if (assign == 2) {  // mid/side
+      for (int i = 0; i < blocksize; ++i) {
+        int64_t m = ch[0][i], s = ch[1][i];
+        m = (m << 1) | (s & 1);
+        ch[0][i] = (m + s) >> 1;
+        ch[1][i] = (m - s) >> 1;
+      }
+    }
+    const float inv_ch = 1.0f / nch;
+    for (int i = 0; i < blocksize; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < nch; ++c) acc += ch[c][i] * scale;
+      out.samples.push_back(acc * inv_ch);
+    }
+    if (total_samples && out.samples.size() >= total_samples) {
+      out.samples.resize(total_samples);
+      break;
+    }
+  }
+  return out;
+}
+
+Decoded decode_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    Decoded out;
+    out.error = "cannot open " + path;
+    return out;
+  }
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                           std::istreambuf_iterator<char>());
+  if (buf.size() >= 4 && std::memcmp(buf.data(), "fLaC", 4) == 0)
+    return decode_flac(buf, path);
+  return decode_wav(path);
+}
+
 void resample_linear(std::vector<float>& x, int sr_in, int sr_out) {
   if (sr_in == sr_out || x.empty()) return;
   size_t n_out =
@@ -146,7 +480,7 @@ std::vector<Decoded> decode_batch(const std::vector<std::string>& paths,
     while (true) {
       size_t i = next.fetch_add(1);
       if (i >= paths.size()) break;
-      results[i] = decode_wav(paths[i]);
+      results[i] = decode_file(paths[i]);
       if (results[i].error.empty() && target_sr > 0)
         resample_linear(results[i].samples, results[i].sample_rate, target_sr);
     }
