@@ -117,6 +117,91 @@ class Server:
                     done.set()
 
 
+class ContinuousServer:
+    """Continuous-batching worker: requests join/leave the running decode
+    batch (infer/continuous.py) instead of waiting for an arrival window
+    — per-request latency no longer depends on batch-mates (the
+    reference's vLLM engine role, speech/cosyvoice/llm/llm.py:715-743)."""
+
+    def __init__(self, tts, slots: int = 4, token_hop: int = 25):
+        import jax
+
+        from minimax_speech_tpu.infer.continuous import ContinuousBatcher
+        self.tts = tts
+        self.cb = ContinuousBatcher(tts.pipeline, slots=slots,
+                                    token_hop=token_hop,
+                                    key=jax.random.PRNGKey(0))
+        self.queue: "queue.Queue" = queue.Queue()
+        self._waiters: dict[int, tuple[dict, threading.Event, list]] = {}
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, text: str, speaker: str) -> np.ndarray:
+        done = threading.Event()
+        slot = {}
+        self.queue.put((text, speaker, slot, done))
+        done.wait(timeout=600)
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        if not done.is_set():
+            raise RuntimeError("timed out")
+        return slot["audio"]
+
+    def _drain_queue(self, block: bool):
+        from minimax_speech_tpu.infer.serving import Request
+        while True:
+            try:
+                item = self.queue.get(timeout=0.02 if block else 0)
+            except queue.Empty:
+                return
+            block = False
+            text, speaker, slot, done = item
+            try:
+                info = self.tts.spk2info[speaker]
+                toks = self.tts.frontend.extract_text_tokens(
+                    self.tts.frontend.text_normalize(text, split=False)[0])
+                req = Request(
+                    text_tokens=toks,
+                    prompt_text_tokens=np.asarray(
+                        info["prompt_text_tokens"], np.int32),
+                    prompt_speech_tokens=np.asarray(
+                        info["prompt_tokens"], np.int32),
+                    prompt_feat=np.asarray(info["prompt_feat"]),
+                    lm_spk=np.asarray(info["lm_spk"]).reshape(-1),
+                    flow_emb=np.asarray(info["flow_emb"]).reshape(-1))
+            except Exception as e:
+                slot["error"] = f"bad request: {e}"
+                done.set()
+                continue
+            rid = self.cb.submit(req)
+            self._waiters[rid] = (slot, done, [])
+
+    def _worker(self):
+        while True:
+            self._drain_queue(block=not self.cb.busy())
+            if not self.cb.busy():
+                continue
+            try:
+                events = self.cb.tick()
+            except Exception as e:
+                for slot, done, _ in self._waiters.values():
+                    slot["error"] = str(e)
+                    done.set()
+                self._waiters.clear()
+                continue
+            for ev in events:
+                w = self._waiters.get(ev.stream)
+                if w is None:
+                    continue
+                slot, done, chunks = w
+                if len(ev.audio):
+                    chunks.append(ev.audio)
+                if ev.final:
+                    slot["audio"] = (np.concatenate(chunks) if chunks
+                                     else np.zeros(0, np.float32))
+                    done.set()
+                    del self._waiters[ev.stream]
+
+
 def make_handler(server: Server, tts):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -202,6 +287,13 @@ def main(argv=None):
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=int, default=50)
+    p.add_argument("--scheduler", choices=("window", "continuous"),
+                   default="window",
+                   help="window = arrival-window batch; continuous = "
+                        "slot-pool continuous batching (requests "
+                        "join/leave the running decode)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="(continuous) decode lanes")
     args = p.parse_args(argv)
 
     import jax
@@ -220,11 +312,15 @@ def main(argv=None):
     else:
         raise SystemExit("need --ckpt_dir or --random_init")
 
-    server = Server(tts, args.max_batch, args.max_wait_ms)
+    if args.scheduler == "continuous":
+        server = ContinuousServer(tts, slots=args.slots)
+        mode = f"continuous, {args.slots} slots"
+    else:
+        server = Server(tts, args.max_batch, args.max_wait_ms)
+        mode = f"batch<={args.max_batch}, window {args.max_wait_ms}ms"
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server, tts))
-    print(f"serving on {args.host}:{args.port} (batch<={args.max_batch}, "
-          f"window {args.max_wait_ms}ms)")
+    print(f"serving on {args.host}:{args.port} ({mode})")
     httpd.serve_forever()
 
 

@@ -178,6 +178,18 @@ class SpeechLM(nn.Module):
         hidden, cache = self.llm(emb_1, pos[:, None], bias, cache, slot)
         return self.llm_decoder(hidden[:, -1]), cache, valid
 
+    def decode_step_rows(self, emb_1, pos, valid, cache, slots, active):
+        """One decode step with PER-ROW cache slots (continuous batching:
+        lanes joined at different times sit at different positions).
+        emb_1 (B, 1, C); pos/slots (B,) int32; active (B,) bool gates the
+        valid-mask extension so parked lanes never grow their context.
+        Returns (logits (B, V), cache, valid)."""
+        b = emb_1.shape[0]
+        valid = valid.at[jnp.arange(b), slots].max(active)
+        bias = qwen2.cache_bias(valid)
+        hidden, cache = self.llm(emb_1, pos[:, None], bias, cache, slots)
+        return self.llm_decoder(hidden[:, -1]), cache, valid
+
     def embed_speech_token(self, tok):
         return self.speech_embedding(tok)
 

@@ -173,8 +173,18 @@ class Qwen2Attention(nn.Module):
 
         if cache is not None:
             ck, cv = cache
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_offset, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_offset, 0, 0))
+            if jnp.ndim(cache_offset) == 1:
+                # per-row write offsets (continuous batching: each lane
+                # is at its own decode position); t is 1 there
+                upd = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(
+                    c, x, (i, 0, 0)))
+                ck = upd(ck, k, cache_offset)
+                cv = upd(cv, v, cache_offset)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k,
+                                                  (0, cache_offset, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v,
+                                                  (0, cache_offset, 0, 0))
             keys, values = ck, cv
             new_cache = (ck, cv)
         else:

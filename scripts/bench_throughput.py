@@ -17,10 +17,101 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np
 
 
+def staggered(pipe, make_req, n_req: int, interval_s: float,
+              gen_tokens: int, slots: int = 4):
+    """Continuous batching vs window batching under STAGGERED arrivals:
+    per-request completion latency (from its own arrival) and total
+    wall time. Continuous admits arrivals into the running decode; the
+    window scheduler can only start a request after the current batch
+    finishes (reference comparison target: vLLM engine vs static
+    batching, speech/cosyvoice/llm/llm.py:715-743)."""
+    import jax
+
+    from minimax_speech_tpu.infer.continuous import ContinuousBatcher
+
+    arrivals = [(i * interval_s, make_req()) for i in range(n_req)]
+
+    # -- continuous ---------------------------------------------------------
+    cb = ContinuousBatcher(pipe, slots=slots, key=jax.random.PRNGKey(3))
+    # warmup compiles (one short request)
+    wid = cb.submit(make_req())
+    while cb.busy():
+        cb.tick()
+    t0 = time.perf_counter()
+    clock = lambda: time.perf_counter() - t0
+    first, final = {}, {}
+    arrive = {id(r): t for t, r in arrivals}
+    rid2arr = {}
+    pending = list(arrivals)
+    i = 0
+    while i < len(pending) or cb.busy():
+        now = clock()
+        while i < len(pending) and pending[i][0] <= now:
+            rid = cb.submit(pending[i][1])
+            rid2arr[rid] = pending[i][0]
+            i += 1
+        if not cb.busy():
+            time.sleep(0.001)
+            continue
+        for ev in cb.tick():
+            if ev.stream not in rid2arr:
+                continue
+            t = clock() - rid2arr[ev.stream]
+            if len(ev.audio) and ev.stream not in first:
+                first[ev.stream] = t
+            if ev.final:
+                final[ev.stream] = t
+    cont_wall = clock()
+    cont_first = np.mean(list(first.values()))
+    cont_final = np.mean(list(final.values()))
+
+    # -- window (static batch per window; late arrivals wait) ---------------
+    from minimax_speech_tpu.infer.serving import BatchSynthesizer
+    synth = BatchSynthesizer(pipe)
+    synth.synthesize_batch([make_req()], key=jax.random.PRNGKey(4))  # warm
+    t0 = time.perf_counter()
+    clock = lambda: time.perf_counter() - t0
+    done_at = {}
+    i = 0
+    while i < len(arrivals):
+        now = clock()
+        if arrivals[i][0] > now:
+            time.sleep(arrivals[i][0] - now)
+        # batch = everything that has arrived by the time we start
+        now = clock()
+        batch = []
+        while i < len(arrivals) and arrivals[i][0] <= now:
+            batch.append(arrivals[i])
+            i += 1
+        synth.synthesize_batch([r for _, r in batch],
+                               key=jax.random.PRNGKey(5 + i))
+        t = clock()
+        for at, r in batch:
+            done_at[id(r)] = t - at
+    win_wall = clock()
+    win_final = np.mean(list(done_at.values()))
+
+    print(f"staggered({n_req} req @ {interval_s}s, {gen_tokens} tok): "
+          f"continuous first-audio {cont_first:.3f}s "
+          f"final {cont_final:.3f}s wall {cont_wall:.2f}s | "
+          f"window final {win_final:.3f}s wall {win_wall:.2f}s",
+          flush=True)
+    return {"cont_first_s": float(cont_first),
+            "cont_final_s": float(cont_final),
+            "cont_wall_s": float(cont_wall),
+            "win_final_s": float(win_final),
+            "win_wall_s": float(win_wall)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,8")
     ap.add_argument("--gen_tokens", type=int, default=125)
+    ap.add_argument("--staggered", type=int, default=0,
+                    help="N staggered requests for the continuous-vs-"
+                         "window comparison (0 = skip)")
+    ap.add_argument("--interval", type=float, default=0.1)
+    ap.add_argument("--slots", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -56,6 +147,11 @@ def main():
                        prompt_text_tokens=rng.integers(0, 150000, 4),
                        prompt_speech_tokens=ptoks, prompt_feat=plat,
                        lm_spk=lm_spk, flow_emb=femb)
+
+    if args.staggered:
+        staggered(pipe, make_req, args.staggered, args.interval,
+                  args.gen_tokens, slots=args.slots)
+        return
 
     for b in [int(x) for x in args.batches.split(",")]:
         reqs = [make_req() for _ in range(b)]
