@@ -27,6 +27,7 @@ from minimax_speech_tpu.models.decoder_unet import (CausalConditionalDecoder,
                                                     DecoderUNetConfig)
 from minimax_speech_tpu.ops import masks as mask_ops
 from minimax_speech_tpu.ops import monotonic_align as ma
+from minimax_speech_tpu.ops import rope as rope_ops
 
 
 @dataclass(frozen=True)
@@ -36,10 +37,12 @@ class MatchaConfig:
     hidden: int = 192
     n_heads: int = 2
     n_layers: int = 6
-    ffn_mult: int = 4
+    filter_channels: Optional[int] = None  # FFN width; None -> 4*hidden
+    enc_kernel: int = 3
     prenet_kernel: int = 5
     dp_kernel: int = 3
     dp_filters: int = 256
+    rope_base: float = 10000.0
     unet: DecoderUNetConfig = field(default_factory=lambda: DecoderUNetConfig(
         in_channels=160, out_channels=80, channels=(256,),
         attention_head_dim=64, n_blocks=1, num_mid_blocks=2, num_heads=4))
@@ -49,25 +52,107 @@ class MatchaConfig:
     n_timesteps: int = 10
 
 
+class ChanLayerNorm(nn.Module):
+    """glow-tts LayerNorm: normalize over channels with eps 1e-4
+    (reference: text_encoder.py:15-33; channel-last here)."""
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        m = jnp.mean(x, -1, keepdims=True)
+        v = jnp.mean((x - m) ** 2, -1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + self.eps) * g + b
+
+
+class ConvReluNorm(nn.Module):
+    """Residual conv prenet with a zero-init projection
+    (reference: text_encoder.py:36-68)."""
+    hidden: int
+    kernel: int = 5
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = x
+        for i in range(self.n_layers):
+            h = nn.Conv(self.hidden, (self.kernel,), padding="SAME",
+                        name=f"conv_{i}")(h * mask)
+            h = ChanLayerNorm(name=f"norm_{i}")(h)
+            h = nn.relu(h)
+        h = nn.Dense(x.shape[-1], kernel_init=nn.initializers.zeros,
+                     name="proj")(h)
+        return (x + h) * mask
+
+
+class RotaryAttention(nn.Module):
+    """Self-attention with PARTIAL rotary embeddings: RoPE on the first
+    half of each head's dims, the rest passes through
+    (reference: text_encoder.py:97-174 RotaryPositionalEmbeddings with
+    d = k_channels * 0.5, 175-250 MultiHeadAttention)."""
+    heads: int
+    rope_base: float = 10000.0
+
+    @nn.compact
+    def __call__(self, x, bias):
+        b, t, c = x.shape
+        hd = c // self.heads
+        q = nn.Dense(c, name="conv_q")(x).reshape(b, t, self.heads, hd)
+        k = nn.Dense(c, name="conv_k")(x).reshape(b, t, self.heads, hd)
+        v = nn.Dense(c, name="conv_v")(x).reshape(b, t, self.heads, hd)
+        d_rope = int(hd * 0.5)
+        cos, sin = rope_ops.rope_cos_sin(t, d_rope, self.rope_base,
+                                         dtype=x.dtype)
+        qr, kr = rope_ops.apply_rope(q[..., :d_rope], k[..., :d_rope],
+                                     cos, sin)
+        q = jnp.concatenate([qr, q[..., d_rope:]], -1)
+        k = jnp.concatenate([kr, k[..., d_rope:]], -1)
+        w = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        w = jax.nn.softmax(w.astype(jnp.float32) + bias, -1).astype(x.dtype)
+        a = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, c)
+        return nn.Dense(c, name="conv_o")(a)
+
+
+class FFN(nn.Module):
+    """conv -> relu -> conv with masking between
+    (reference: text_encoder.py:253-275)."""
+    filters: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
+                    name="conv_1")(x * mask)
+        h = nn.relu(h)
+        h = nn.Conv(x.shape[-1], (self.kernel,), padding="SAME",
+                    name="conv_2")(h * mask)
+        return h * mask
+
+
 class DurationPredictor(nn.Module):
-    """conv -> LN -> relu x2 -> 1x1 (reference: text_encoder.py:328-380)."""
+    """conv -> relu -> LN x2 -> 1x1 (reference: text_encoder.py:71-94)."""
     filters: int
     kernel: int
 
     @nn.compact
     def __call__(self, x, mask):
         m = mask[..., None]
-        h = x * m
-        for i in range(2):
-            h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
-                        name=f"conv_{i}")(h * 1.0)
-            h = nn.relu(h)
-            h = nn.LayerNorm(name=f"norm_{i}")(h)
-            h = h * m
-        return nn.Dense(1, name="proj")(h)[..., 0] * mask
+        h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
+                    name="conv_1")(x * m)
+        h = ChanLayerNorm(name="norm_1")(nn.relu(h))
+        h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
+                    name="conv_2")(h * m)
+        h = ChanLayerNorm(name="norm_2")(nn.relu(h))
+        return nn.Dense(1, name="proj")(h * m)[..., 0] * mask
 
 
 class TextEncoder(nn.Module):
+    """Weight-compatible port of the glow-tts/Matcha text encoder
+    (reference: text_encoder.py:278-410): scaled embedding ->
+    ConvReluNorm prenet -> n_layers of {rotary MHA, chan-LN, conv FFN,
+    chan-LN} -> mu projection + duration predictor on detached
+    features."""
     cfg: MatchaConfig
 
     @nn.compact
@@ -75,31 +160,23 @@ class TextEncoder(nn.Module):
         c = self.cfg
         t = tokens.shape[1]
         mask = mask_ops.make_non_pad_mask(token_len, t).astype(jnp.float32)
+        m3 = mask[..., None]
         h = nn.Embed(c.n_vocab, c.hidden, name="emb")(tokens)
         h = h * np.sqrt(c.hidden)
-        for i in range(3):  # conv prenet with residual
-            r = nn.Conv(c.hidden, (c.prenet_kernel,), padding="SAME",
-                        name=f"prenet_{i}")(h * mask[..., None])
-            r = nn.LayerNorm(name=f"prenet_ln_{i}")(r)
-            h = h + nn.relu(r)
-        attn = mask_ops.add_optional_chunk_mask(mask > 0, 0)
-        bias = mask_ops.mask_to_bias(attn[:, None], jnp.float32)
+        h = ConvReluNorm(c.hidden, c.prenet_kernel, name="prenet")(h, m3)
+        # (B,1,T,T) additive bias; the reference uses -1e4 (masked_fill)
+        bias = jnp.where((mask[:, None, :, None]
+                          * mask[:, None, None, :]) > 0, 0.0, -1e4)
+        filters = c.filter_channels or 4 * c.hidden
         for i in range(c.n_layers):
-            q = nn.LayerNorm(name=f"ln1_{i}")(h)
-            b_, tt, d = q.shape
-            hd = d // c.n_heads
-            qh = nn.Dense(d, name=f"q_{i}")(q).reshape(b_, tt, c.n_heads, hd)
-            kh = nn.Dense(d, name=f"k_{i}")(q).reshape(b_, tt, c.n_heads, hd)
-            vh = nn.Dense(d, name=f"v_{i}")(q).reshape(b_, tt, c.n_heads, hd)
-            w = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
-            w = jax.nn.softmax(w.astype(jnp.float32) + bias, -1).astype(h.dtype)
-            a = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b_, tt, d)
-            h = h + nn.Dense(d, name=f"o_{i}")(a)
-            f = nn.LayerNorm(name=f"ln2_{i}")(h)
-            f = nn.Dense(c.ffn_mult * d, name=f"ff1_{i}")(f)
-            h = h + nn.Dense(d, name=f"ff2_{i}")(nn.relu(f))
-        h = h * mask[..., None]
-        mu_x = nn.Dense(c.n_feats, name="proj_mu")(h) * mask[..., None]
+            h = h * m3
+            y = RotaryAttention(c.n_heads, c.rope_base,
+                                name=f"attn_{i}")(h, bias)
+            h = ChanLayerNorm(name=f"norm1_{i}")(h + y)
+            y = FFN(filters, c.enc_kernel, name=f"ffn_{i}")(h, m3)
+            h = ChanLayerNorm(name=f"norm2_{i}")(h + y)
+        h = h * m3
+        mu_x = nn.Dense(c.n_feats, name="proj_m")(h) * m3
         logw = DurationPredictor(c.dp_filters, c.dp_kernel,
                                  name="dp")(jax.lax.stop_gradient(h), mask)
         return mu_x, logw, mask

@@ -402,3 +402,52 @@ def campplus_params(state: dict,
         "kernel": state["xvector.dense.linear.weight"][:, :, 0].T}
     p["dense_bn"] = _bn(state, "xvector.dense.nonlinear.batchnorm.")
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Matcha-TTS text encoder (standalone acoustic model)
+# ---------------------------------------------------------------------------
+
+def matcha_text_encoder_params(state: dict, n_layers: int = 6,
+                               prenet_layers: int = 3,
+                               prefix: str = "encoder.") -> dict:
+    """Released Matcha-TTS acoustic state dict -> models/matcha.TextEncoder
+    params (reference: matcha/models/components/text_encoder.py:278-410;
+    checkpoint keys 'encoder.emb.weight', 'encoder.prenet.conv_layers.*',
+    'encoder.encoder.attn_layers.*.conv_q.*', 'encoder.proj_m.*',
+    'encoder.proj_w.*'). Returns the TextEncoder param subtree."""
+    def g(k):
+        return np.asarray(state[prefix + k])
+
+    def ln(k):
+        return {"gamma": g(k + ".gamma"), "beta": g(k + ".beta")}
+
+    def conv(k):
+        return {"kernel": _conv(g(k + ".weight")), "bias": g(k + ".bias")}
+
+    def dense1x1(k):  # torch Conv1d k=1 -> flax Dense
+        return {"kernel": _dw(g(k + ".weight")[:, :, 0]),
+                "bias": g(k + ".bias")}
+
+    p = {"emb": {"embedding": g("emb.weight")}}
+    pre = {"proj": dense1x1("prenet.proj")}
+    for i in range(prenet_layers):
+        pre[f"conv_{i}"] = conv(f"prenet.conv_layers.{i}")
+        pre[f"norm_{i}"] = ln(f"prenet.norm_layers.{i}")
+    p["prenet"] = pre
+    for i in range(n_layers):
+        p[f"attn_{i}"] = {
+            f"conv_{nm}": dense1x1(f"encoder.attn_layers.{i}.conv_{nm}")
+            for nm in ("q", "k", "v", "o")}
+        p[f"norm1_{i}"] = ln(f"encoder.norm_layers_1.{i}")
+        p[f"ffn_{i}"] = {
+            "conv_1": conv(f"encoder.ffn_layers.{i}.conv_1"),
+            "conv_2": conv(f"encoder.ffn_layers.{i}.conv_2")}
+        p[f"norm2_{i}"] = ln(f"encoder.norm_layers_2.{i}")
+    p["proj_m"] = dense1x1("proj_m")
+    p["dp"] = {"conv_1": conv("proj_w.conv_1"),
+               "norm_1": ln("proj_w.norm_1"),
+               "conv_2": conv("proj_w.conv_2"),
+               "norm_2": ln("proj_w.norm_2"),
+               "proj": dense1x1("proj_w.proj")}
+    return p
