@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from minimax_speech_tpu.flowae import fm as fm_lib
+from minimax_speech_tpu.flowae.consistency_unet import (ConsistencyUNet,
+                                                        ConsistencyUNetConfig)
 from minimax_speech_tpu.flowae.dit import DiT1D, DiTConfig
 
 
@@ -28,9 +30,13 @@ class DiToConfig:
     z_dim: int = 32
     enc_channels: int = 64
     enc_strides: tuple = (4, 4, 4)  # total downsample 64x
+    renderer_type: str = "dit"     # 'dit' | 'unet' (consistency decoder,
+    # reference: consistency_audio_decoder_unet.py AudioDiffusionUNet)
     renderer: DiTConfig = field(default_factory=lambda: DiTConfig(
         hidden=192, depth=6, num_heads=6, patch=16, in_channels=1,
         out_channels=1, cond_dim=32))
+    unet: ConsistencyUNetConfig = field(
+        default_factory=lambda: ConsistencyUNetConfig(dims=1))
     fm: fm_lib.FMConfig = field(default_factory=fm_lib.FMConfig)
     render_n_steps: int = 18
     renderer_guidance: float = 1.0
@@ -58,8 +64,16 @@ class DiToAudio(nn.Module):
     cfg: DiToConfig = DiToConfig()
 
     def setup(self):
+        import dataclasses
+
         self.encoder = ConvEncoder(self.cfg)
-        self.renderer = DiT1D(self.cfg.renderer)
+        if self.cfg.renderer_type == "unet":
+            self.renderer = ConsistencyUNet(dataclasses.replace(
+                self.cfg.unet, dims=1, in_channels=self.cfg.in_channels,
+                out_channels=self.cfg.in_channels,
+                z_dec_channels=self.cfg.z_dim))
+        else:
+            self.renderer = DiT1D(self.cfg.renderer)
         # learned unconditional embedding for renderer CFG
         # (reference: dito.py drop_z_emb)
         self.drop_z_emb = self.param("drop_z_emb",
