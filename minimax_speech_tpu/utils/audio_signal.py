@@ -167,6 +167,54 @@ def _istft_impl(real, imag, n_fft: int, hop: int, length: int):
     return mel_ops.istft(real, imag, n_fft, hop, length=length)
 
 
+@jax.jit
+def _fft_convolve(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
+    """Circular-free linear convolution, truncated to len(x)
+    (reference: effects.py convolve FFT path :102-118)."""
+    n = x.shape[-1] + ir.shape[-1] - 1
+    fx = jnp.fft.rfft(x, n=n)
+    fi = jnp.fft.rfft(ir, n=n)
+    return jnp.fft.irfft(fx * fi, n=n)[..., : x.shape[-1]]
+
+
+_rfft_jit = jax.jit(jnp.fft.rfft)
+_irfft_jit = jax.jit(lambda s, n: jnp.fft.irfft(s, n=n),
+                     static_argnames=("n",))
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def _sinc_lowpass_kernel(cutoff_hz: float, sr: int, zeros: int = 51
+                         ) -> np.ndarray:
+    """Hann-windowed sinc with `zeros` zero crossings (the julius
+    LowPassFilter kernel the reference's dsp.low_pass delegates to)."""
+    c = cutoff_hz / sr
+    half = int(np.ceil(zeros / (4 * max(c, 1e-6))))
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    kernel = 2 * c * np.sinc(2 * c * t)
+    win = np.hanning(2 * half + 1)
+    kernel = kernel * win
+    return (kernel / kernel.sum()).astype(np.float32)
+
+
+@jax.jit
+def _fir_filter(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Same-length zero-phase FIR via FFT (kernel centered)."""
+    k = kernel.shape[0]
+    half = k // 2
+    xp = jnp.pad(x, ((0, 0), (half, half)))
+    n = xp.shape[-1] + k - 1
+    y = jnp.fft.irfft(jnp.fft.rfft(xp, n=n)
+                      * jnp.fft.rfft(kernel, n=n), n=n)
+    return y[..., 2 * half: 2 * half + x.shape[-1]]
+
+
 # ---------------------------------------------------------------- the signal
 class AudioSignal:
     """Functional AudioSignal (reference: core/audio_signal.py:53+).
@@ -274,6 +322,130 @@ class AudioSignal:
     def volume_change(self, db: float) -> "AudioSignal":
         return self._replace(
             self.audio_data * jnp.exp(db * jnp.log(10.0) / 20.0))
+
+    def normalize_per_item(self, db: np.ndarray) -> "AudioSignal":
+        """Per-item target LUFS (the reference's tensor-db normalize,
+        effects.py:200-224)."""
+        gain_db = np.asarray(db, np.float64) - self.loudness()
+        gain = np.exp(gain_db * np.log(10.0) / 20.0)
+        out = self._replace(self.audio_data
+                            * jnp.asarray(gain, jnp.float32)[:, None, None])
+        out._loudness = np.asarray(db, np.float64)
+        return out
+
+    # -- effects (EffectMixin port; reference: core/effects.py) ----------
+    def _match_length(self, other: "AudioSignal") -> jnp.ndarray:
+        o = other.audio_data
+        pad = self.signal_length - o.shape[-1]
+        if pad > 0:
+            o = jnp.pad(o, ((0, 0), (0, 0), (0, pad)))
+        return o[..., : self.signal_length]
+
+    def convolve(self, other: "AudioSignal",
+                 start_at_max: bool = True) -> "AudioSignal":
+        """FFT convolution with `other` (an IR / window), in the
+        reference's length-preserving, delay-free form
+        (effects.py:66-123): roll each IR to its peak, convolve, keep
+        the first `signal_length` samples."""
+        ir = self._match_length(other)
+        if start_at_max:
+            t = ir.shape[-1]
+            idx = jnp.argmax(jnp.abs(ir), axis=-1)           # (B, C)
+            pos = (jnp.arange(t)[None, None, :] + idx[..., None]) % t
+            ir = jnp.take_along_axis(ir, pos, axis=-1)
+        out = _fft_convolve(
+            self.audio_data.reshape(-1, self.signal_length),
+            ir.reshape(-1, self.signal_length))
+        return self._replace(out.reshape(self.audio_data.shape))
+
+    def mix(self, other: "AudioSignal", snr=10.0,
+            other_eq=None) -> "AudioSignal":
+        """Add `other` at the given per-item SNR in LUFS terms
+        (effects.py:27-64)."""
+        o = AudioSignal(self._match_length(other), self.sample_rate,
+                        self.stft_params)
+        if other_eq is not None:
+            o = o.equalizer(other_eq)
+        tgt = self.loudness() - np.broadcast_to(
+            np.asarray(snr, np.float64), (self.batch_size,))
+        o = o.normalize_per_item(tgt)
+        return self._replace(self.audio_data + o.audio_data)
+
+    def mel_filterbank(self, n_bands: int) -> jnp.ndarray:
+        """Split into mel-spaced bands that sum back to the signal,
+        (B, C, T, n_bands). The reference uses julius windowed-sinc
+        SplitBands (effects.py:386-403); an FFT brickwall split at the
+        same mel-spaced edges is used here (exactly
+        partition-of-identity, and a single compiled FFT on TPU)."""
+        t = self.signal_length
+        freqs = np.fft.rfftfreq(t, 1.0 / self.sample_rate)
+        mel_edges = np.linspace(
+            _hz_to_mel(0.0), _hz_to_mel(self.sample_rate / 2),
+            n_bands + 1)
+        edges = _mel_to_hz(mel_edges)
+        spec = _rfft_jit(self.audio_data.reshape(-1, t))
+        bands = []
+        for i in range(n_bands):
+            lo, hi = edges[i], edges[i + 1]
+            m = (freqs >= lo) & (freqs < hi) if i < n_bands - 1 else \
+                (freqs >= lo)
+            bands.append(_irfft_jit(spec * jnp.asarray(m), n=t))
+        out = jnp.stack(bands, axis=-1)
+        return out.reshape(self.audio_data.shape + (n_bands,))
+
+    def equalizer(self, db) -> "AudioSignal":
+        """Mel-spaced EQ: weight each band by 10^db (effects.py:405-433;
+        note the reference applies 10**db, i.e. db/10-style weights)."""
+        db = jnp.atleast_2d(jnp.asarray(db, jnp.float32))  # (1|B, n_bands)
+        fbank = self.mel_filterbank(db.shape[-1])
+        w = 10.0 ** db
+        return self._replace(
+            jnp.sum(fbank * w[:, None, None, :], axis=-1))
+
+    def low_pass(self, cutoff: float, zeros: int = 51) -> "AudioSignal":
+        """Windowed-sinc FIR low-pass (the julius.LowPassFilter role,
+        dsp.py low_pass)."""
+        kernel = _sinc_lowpass_kernel(float(cutoff), self.sample_rate,
+                                      zeros)
+        t = self.signal_length
+        x = self.audio_data.reshape(-1, t)
+        y = _fir_filter(x, jnp.asarray(kernel))
+        return self._replace(y.reshape(self.audio_data.shape))
+
+    def high_pass(self, cutoff: float, zeros: int = 51) -> "AudioSignal":
+        """Complementary high-pass: x - lowpass(x) (dsp.py high_pass)."""
+        lp = self.low_pass(cutoff, zeros)
+        return self._replace(self.audio_data - lp.audio_data)
+
+    def clip_distortion(self, clip_percentile) -> "AudioSignal":
+        """Percentile clipping (effects.py:435-461)."""
+        p = jnp.broadcast_to(jnp.asarray(clip_percentile, jnp.float32),
+                             (self.batch_size,))
+        lo = jax.vmap(lambda a, q: jnp.quantile(a, q / 2))(
+            self.audio_data, p)
+        hi = jax.vmap(lambda a, q: jnp.quantile(a, 1 - q / 2))(
+            self.audio_data, p)
+        return self._replace(jnp.clip(self.audio_data,
+                                      lo[:, None, None],
+                                      hi[:, None, None]))
+
+    def quantization(self, quantization_channels: int) -> "AudioSignal":
+        """Uniform quantization (effects.py:463-490)."""
+        q = float(quantization_channels)
+        x = (self.audio_data + 1) / 2
+        x = jnp.floor(x * q) / q
+        return self._replace(2 * x - 1)
+
+    def mulaw_quantization(self, quantization_channels: int
+                           ) -> "AudioSignal":
+        """mu-law companding quantization (effects.py:492-523)."""
+        mu = float(quantization_channels) - 1.0
+        x = self.audio_data
+        y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+        y = jnp.floor((y + 1) / 2 * mu + 0.5)
+        y = (y / mu) * 2 - 1.0
+        y = jnp.sign(y) * (jnp.exp(jnp.abs(y) * np.log1p(mu)) - 1.0) / mu
+        return self._replace(y)
 
     # -- channel / rate --------------------------------------------------
     def to_mono(self) -> "AudioSignal":

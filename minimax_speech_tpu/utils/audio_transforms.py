@@ -141,6 +141,256 @@ class ShiftPhase(BaseTransform):
         return signal.istft()
 
 
+def _sample_dist(key, dist: Tuple, batch: int = 1):
+    """('const', v) | ('uniform', lo, hi) | ('choice', [..]) — the
+    reference's util.sample_from_dist. Returns (B,) numpy draws
+    ('choice'/'const' return python scalars for shape-static params)."""
+    if dist[0] == "const":
+        return dist[1]
+    if dist[0] == "choice":
+        i = int(jax.random.randint(key, (), 0, len(dist[1])))
+        return dist[1][i]
+    lo, hi = float(dist[1]), float(dist[2])
+    return np.asarray(jax.random.uniform(key, (batch,),
+                                         minval=lo, maxval=hi))
+
+
+class ClippingDistortion(BaseTransform):
+    """Percentile clipping (reference: transforms.py:531-561)."""
+
+    def __init__(self, perc: Tuple = ("uniform", 0.0, 0.1),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.perc = perc
+
+    def _transform(self, key, signal):
+        perc = _sample_dist(key, self.perc, signal.batch_size)
+        return signal.clip_distortion(perc)
+
+
+class Equalizer(BaseTransform):
+    """Random mel-band EQ cut (reference: transforms.py:564-601)."""
+
+    def __init__(self, eq_amount: Tuple = ("const", 1.0),
+                 n_bands: int = 6, name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.eq_amount = eq_amount
+        self.n_bands = n_bands
+
+    def _transform(self, key, signal):
+        k_a, k_e = jax.random.split(key)
+        amount = _sample_dist(k_a, self.eq_amount, signal.batch_size)
+        eq = -np.asarray(amount).reshape(-1, 1) * np.asarray(
+            jax.random.uniform(k_e, (signal.batch_size, self.n_bands)))
+        return signal.equalizer(eq)
+
+
+class Quantization(BaseTransform):
+    """Uniform quantization (reference: transforms.py:603-633)."""
+
+    def __init__(self, channels: Tuple = ("choice",
+                                          [8, 32, 128, 256, 1024]),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.channels = channels
+
+    def _transform(self, key, signal):
+        return signal.quantization(_sample_dist(key, self.channels))
+
+
+class MuLawQuantization(BaseTransform):
+    """mu-law quantization (reference: transforms.py:636-668)."""
+
+    def __init__(self, channels: Tuple = ("choice",
+                                          [8, 32, 128, 256, 1024]),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.channels = channels
+
+    def _transform(self, key, signal):
+        return signal.mulaw_quantization(_sample_dist(key, self.channels))
+
+
+class LowPass(BaseTransform):
+    """Windowed-sinc low-pass (reference: transforms.py:1095-1132)."""
+
+    def __init__(self, cutoff: Tuple = ("choice", [4000, 8000, 16000]),
+                 zeros: int = 51, name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.cutoff = cutoff
+        self.zeros = zeros
+
+    def _transform(self, key, signal):
+        return signal.low_pass(_sample_dist(key, self.cutoff),
+                               zeros=self.zeros)
+
+
+class HighPass(BaseTransform):
+    """Complementary high-pass (reference: transforms.py:1134-1171)."""
+
+    def __init__(self, cutoff: Tuple = ("choice",
+                                        [50, 100, 250, 500, 1000]),
+                 zeros: int = 51, name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.cutoff = cutoff
+        self.zeros = zeros
+
+    def _transform(self, key, signal):
+        return signal.high_pass(_sample_dist(key, self.cutoff),
+                                zeros=self.zeros)
+
+
+class Smoothing(BaseTransform):
+    """Convolve with a smoothing window, rescaled to the input's peak
+    (reference: transforms.py:1405-1453)."""
+
+    def __init__(self, window_type: Tuple = ("const", "average"),
+                 window_length: Tuple = ("choice",
+                                         [8, 16, 32, 64, 128, 256, 512]),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.window_type = window_type
+        self.window_length = window_length
+
+    def _transform(self, key, signal):
+        k_t, k_l = jax.random.split(key)
+        wtype = _sample_dist(k_t, self.window_type)
+        wlen = int(_sample_dist(k_l, self.window_length))
+        win = (np.hanning(wlen) if wtype == "hann"
+               else np.ones(wlen, np.float64))
+        win = (win / win.sum()).astype(np.float32)
+        w_sig = AudioSignal(win[None, None, :], signal.sample_rate)
+        sscale = jnp.maximum(jnp.max(jnp.abs(signal.audio_data), -1,
+                                     keepdims=True), 1e-12)
+        out = signal.convolve(w_sig)
+        oscale = jnp.maximum(jnp.max(jnp.abs(out.audio_data), -1,
+                                     keepdims=True), 1e-12)
+        return AudioSignal(out.audio_data * (sscale / oscale),
+                           signal.sample_rate, signal.stft_params)
+
+
+class BackgroundNoise(BaseTransform):
+    """Mix a random noise clip at a drawn SNR, with a random 3-band EQ
+    on the noise (reference: transforms.py:707-800). `sources` is a
+    bank of noise clips (N, T) float32 (the reference loads from CSV
+    path lists; pass loaded arrays here) — default is seeded pink-ish
+    noise so the transform works with no external data."""
+
+    def __init__(self, snr: Tuple = ("uniform", 10.0, 30.0),
+                 sources: np.ndarray = None, eq_amount: Tuple = ("const",
+                                                                 1.0),
+                 n_bands: int = 3, name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.snr = snr
+        self.eq_amount = eq_amount
+        self.n_bands = n_bands
+        self.sources = sources
+
+    def _noise(self, key, signal):
+        if self.sources is not None:
+            i = int(jax.random.randint(key, (), 0, len(self.sources)))
+            clip = np.asarray(self.sources[i], np.float32)
+            reps = int(np.ceil(signal.signal_length / len(clip)))
+            clip = np.tile(clip, reps)[: signal.signal_length]
+            return jnp.broadcast_to(
+                jnp.asarray(clip)[None, None, :],
+                (signal.batch_size, 1, signal.signal_length))
+        # pink-ish noise: white noise shaped by 1/sqrt(f)
+        white = jax.random.normal(
+            key, (signal.batch_size, 1, signal.signal_length))
+        spec = jnp.fft.rfft(white)
+        f = np.maximum(np.fft.rfftfreq(signal.signal_length), 1e-3)
+        return jnp.fft.irfft(spec / jnp.asarray(np.sqrt(f)),
+                             n=signal.signal_length).astype(jnp.float32)
+
+    def _transform(self, key, signal):
+        k_n, k_s, k_a, k_e = jax.random.split(key, 4)
+        noise = AudioSignal(self._noise(k_n, signal), signal.sample_rate)
+        snr = _sample_dist(k_s, self.snr, signal.batch_size)
+        amount = _sample_dist(k_a, self.eq_amount, signal.batch_size)
+        eq = -np.asarray(amount).reshape(-1, 1) * np.asarray(
+            jax.random.uniform(k_e, (signal.batch_size, self.n_bands)))
+        return signal.clone().mix(noise, snr, eq)
+
+
+class RoomImpulseResponse(BaseTransform):
+    """Convolve with a room impulse response whose direct-to-reverberant
+    ratio is altered to a drawn target (reference: transforms.py:857-940
+    + effects.py apply_ir/alter_drr :125-180,560-640). `sources` is a
+    bank of IRs (N, T) float32; default is a seeded synthetic
+    exponential-decay IR bank."""
+
+    def __init__(self, drr: Tuple = ("uniform", 0.0, 30.0),
+                 sources: np.ndarray = None, eq_amount: Tuple = ("const",
+                                                                 1.0),
+                 n_bands: int = 6, ir_seconds: float = 0.3,
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.drr = drr
+        self.eq_amount = eq_amount
+        self.n_bands = n_bands
+        self.sources = sources
+        self.ir_seconds = ir_seconds
+
+    def _ir(self, key, sr: int) -> np.ndarray:
+        if self.sources is not None:
+            i = int(jax.random.randint(key, (), 0, len(self.sources)))
+            return np.asarray(self.sources[i], np.float32)
+        t = int(self.ir_seconds * sr)
+        rng = np.random.default_rng(
+            int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+        ir = rng.standard_normal(t) * np.exp(
+            -np.arange(t) / (0.05 * sr))
+        ir[0] = 1.0  # direct path
+        return ir.astype(np.float32)
+
+    @staticmethod
+    def _alter_drr(ir: np.ndarray, sr: int, target_drr: float
+                   ) -> np.ndarray:
+        """Scale the late field to hit the target DRR
+        (effects.py solve_alpha/alter_drr, Bryan 2020 eqs. 1-5)."""
+        td = int(np.argmax(np.abs(ir)))
+        t0 = int(sr * 0.0025)
+        idx = np.arange(len(ir))
+        early_m = (idx >= td - t0) & (idx <= td + t0)
+        early = np.where(early_m, ir, 0.0)
+        late = np.where(~early_m, ir, 0.0)
+        wd = np.zeros_like(ir)
+        span = np.nonzero(early_m)[0]
+        wd[span] = np.hanning(len(span))
+        e_sq, l_sq = early ** 2, late ** 2
+        a = (wd ** 2 * e_sq).sum()
+        b = (2 * (1 - wd) * wd * e_sq).sum()
+        c = (((1 - wd) ** 2) * e_sq).sum() \
+            - 10 ** (target_drr / 10) * l_sq.sum()
+        disc = max(b * b - 4 * a * c, 0.0)
+        alpha = max((-b - np.sqrt(disc)) / (2 * a + 1e-12),
+                    (-b + np.sqrt(disc)) / (2 * a + 1e-12))
+        peak_l = np.abs(late).max()
+        peak_e = max(np.abs(early).max(), 1e-12)
+        alpha = max(alpha, peak_l / peak_e)
+        out = wd * alpha * early + (1 - wd) * early + late
+        return out.astype(np.float32)
+
+    def _transform(self, key, signal):
+        k_i, k_d, k_a, k_e = jax.random.split(key, 4)
+        drr = float(np.mean(_sample_dist(k_d, self.drr, 1)))
+        ir = self._alter_drr(self._ir(k_i, signal.sample_rate),
+                             signal.sample_rate, drr)
+        amount = _sample_dist(k_a, self.eq_amount, signal.batch_size)
+        eq = -np.asarray(amount).reshape(-1, 1) * np.asarray(
+            jax.random.uniform(k_e, (signal.batch_size, self.n_bands)))
+        ir_sig = AudioSignal(ir[None, None, :],
+                             signal.sample_rate).equalizer(eq[:1])
+        # preserve the dry peak (apply_ir does, effects.py:160-180)
+        peak = jnp.max(jnp.abs(signal.audio_data), -1, keepdims=True)
+        out = signal.convolve(ir_sig)
+        opeak = jnp.maximum(jnp.max(jnp.abs(out.audio_data), -1,
+                                    keepdims=True), 1e-12)
+        return AudioSignal(out.audio_data * (peak / opeak),
+                           signal.sample_rate, signal.stft_params)
+
+
 def build_transform(augment_prob: float = 1.0,
                     preprocess: Sequence[str] = ("Identity",),
                     augment: Sequence[str] = ("Identity",),
