@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--process_count", type=int, default=None)
     p.add_argument("--sample", action="store_true",
                    help="save z (sampled); default saves mu")
+    p.add_argument("--config", type=str, default=None,
+                   help="yaml whose model.dac section sets the codec "
+                        "geometry (default: production DACVAEConfig)")
     args = p.parse_args(argv)
 
     import jax
@@ -46,6 +49,10 @@ def main(argv=None):
     files = collect_files(args)[pi::pc]
 
     cfg = dac_vae.DACVAEConfig()
+    if args.config:
+        from minimax_speech_tpu import config as cfg_lib
+        cfg = cfg_lib.build_tts_config(
+            cfg_lib.load_yaml(args.config).get("model", {})).dac
     model = dac_vae.DACVAE(cfg)
     if args.ckpt:
         variables = load_params(args.ckpt)

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--model_version", choices=["v2", "v1_25hz", "v1_50hz"],
                    default="v2",
                    help="v2 = FSQ (default); v1 = vanilla VQ at 25/50 Hz")
+    p.add_argument("--config", type=str, default=None,
+                   help="yaml whose model.s3 section sets the tokenizer "
+                        "geometry (default: production S3TokenizerConfig)")
     return p.parse_args(argv)
 
 
@@ -68,8 +71,13 @@ def main(argv=None):
         else jax.process_count()
 
     files = collect_files(args)[pi::pc]
+    s3cfg = s3.S3TokenizerConfig()
+    if args.config:
+        from minimax_speech_tpu import config as cfg_lib
+        s3cfg = cfg_lib.build_tts_config(
+            cfg_lib.load_yaml(args.config).get("model", {})).s3
     if args.model_version == "v2":
-        model = s3.S3TokenizerV2()
+        model = s3.S3TokenizerV2(s3cfg)
     else:
         stride = 2 if args.model_version == "v1_25hz" else 1
         model = s3.S3TokenizerV1(
@@ -78,7 +86,8 @@ def main(argv=None):
         variables = load_params(args.ckpt)
     elif args.random_init:
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 64, 128)), jnp.array([64]))
+                               jnp.zeros((1, 64, s3cfg.n_mels)),
+                               jnp.array([64]))
     else:
         raise SystemExit("need --ckpt or --random_init")
     apply = jax.jit(model.apply)

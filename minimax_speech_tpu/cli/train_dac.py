@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--augment_prob", type=float, default=0.0)
     p.add_argument("--export_npz", type=str, default=None,
                    help="also write final generator params as .npz")
+    # loss-weight overrides (reference: dac-vae/configs/*.yml lambdas);
+    # None keeps the DACLambdas default
+    p.add_argument("--lambda_mel", type=float, default=None)
+    p.add_argument("--lambda_waveform", type=float, default=None)
+    p.add_argument("--lambda_stft", type=float, default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -71,8 +76,16 @@ def main(argv=None):
     g_state = steps.make_train_state(g_vars["params"], tx_g)
     d_state = steps.make_train_state(d_vars["params"], tx_d)
 
+    lam = gan_steps.DACLambdas()
+    overrides = {k: v for k, v in (("mel", args.lambda_mel),
+                                   ("waveform", args.lambda_waveform),
+                                   ("stft", args.lambda_stft))
+                 if v is not None}
+    if overrides:
+        import dataclasses
+        lam = dataclasses.replace(lam, **overrides)
     gen_step, disc_step = gan_steps.make_dac_steps(
-        gen, disc, sample_rate=cfg.dac.sample_rate,
+        gen, disc, lambdas=lam, sample_rate=cfg.dac.sample_rate,
         gan_start_step=args.gan_start_step)
     gen_step = jax.jit(gen_step, donate_argnums=(0,))
     disc_step = jax.jit(disc_step, donate_argnums=(0,))

@@ -1,0 +1,367 @@
+"""Overfit-and-synthesize proof: the system LEARNS and SPEAKS end-to-end.
+
+The reference's success criteria (reference: TRAINING_GUIDE.md:223-224 —
+"LLM acc >95%, flow recon <0.1") demonstrated on a deterministic
+mini-corpus, entirely through the REAL CLIs:
+
+  corpus -> extract_fsq (S3) -> train_dac -> extract_dac_latents
+         -> train flow -> train LM -> TTS.inference_zero_shot
+
+and then asserts the trained system reproduces the training data:
+  (a) LM continuation tokens match the held-in ground truth,
+  (b) flow-generated latents hit the reconstruction bar,
+  (c) the synthesized waveform correlates with the training audio.
+
+Run on CPU (tiny budgets, used by tests/test_overfit_e2e.py) or TPU:
+  bash scripts/tpu_run.sh scripts/overfit_pipeline.py -- --workdir /tmp/ofit
+Prints ONE JSON line of metrics.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import shutil
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# one shared pentatonic "voice": fixed harmonic timbre, per-segment melody
+_NOTES = np.array([146.83, 164.81, 196.0, 220.0, 246.94, 293.66])
+_HARMONICS = ((1, 0.55), (2, 0.28), (3, 0.14), (4, 0.07))
+_WORDS = ["do", "re", "mi", "fa", "so", "la"]
+
+
+def _segment_notes(rng: np.random.Generator, n_notes: int) -> np.ndarray:
+    return rng.integers(0, len(_NOTES), size=n_notes)
+
+
+def _synth(note_idx: np.ndarray, seconds: float, sr: int) -> np.ndarray:
+    """Deterministic closed-form melody (same content at ANY sample rate,
+    so 16 kHz prompts are exact, not resampled)."""
+    n = int(round(seconds * sr))
+    t = np.arange(n) / sr
+    per = seconds / len(note_idx)
+    f0 = _NOTES[note_idx[np.minimum((t / per).astype(int),
+                                    len(note_idx) - 1)]]
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    x = np.zeros(n)
+    for h, a in _HARMONICS:
+        x += a * np.sin(h * phase)
+    # soft attack/release so segment boundaries aren't clicks
+    env = np.minimum(1.0, np.minimum(t, seconds - t) / 0.02)
+    return (0.6 * x * env).astype(np.float32)
+
+
+def _text_for(note_idx: np.ndarray, idx: int, part: str) -> str:
+    melody = " ".join(_WORDS[i] for i in note_idx)
+    return f"utterance {_WORDS[idx % len(_WORDS)]} part {part} {melody}"
+
+
+def _training_text(text_a: str, text_b: str) -> str:
+    """EXACT byte image of what zero-shot inference feeds the LM:
+    normalize(text_a, nosplit) ++ normalize(text_b, split) — the frontend
+    strips outer whitespace and appends a terminal period, and the
+    pipeline concatenates prompt and tts tokens with no separator
+    (infer/pipeline.py synthesize*: full_text = prompt ++ text)."""
+    return f"{text_a}{text_b}."
+
+
+def _write_wav(path: Path, audio: np.ndarray, sr: int):
+    pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
+                sr: int = 24000, seed: int = 7, n_notes: int = 6) -> dict:
+    """Each utterance = concat(segment A, segment B) of one shared voice,
+    so a zero-shot call (prompt=A, text=B's transcript) is exactly a
+    training continuation. Returns metadata incl. per-segment notes."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    meta = {"sr": sr, "seg_seconds": seg_seconds, "utts": []}
+    paths = []
+    for i in range(n_utts):
+        na = _segment_notes(rng, n_notes)
+        nb = _segment_notes(rng, n_notes)
+        a = _synth(na, seg_seconds, sr)
+        b = _synth(nb, seg_seconds, sr)
+        wav = np.concatenate([a, b])
+        p = out_dir / f"utt{i}.wav"
+        _write_wav(p, wav, sr)
+        text_a = _text_for(na, i, "one")
+        text_b = "and part two goes " + " ".join(_WORDS[j] for j in nb)
+        (out_dir / f"utt{i}.txt").write_text(_training_text(text_a, text_b))
+        meta["utts"].append({"wav": str(p), "notes_a": na.tolist(),
+                             "notes_b": nb.tolist(), "text_a": text_a,
+                             "text_b": text_b})
+        paths.append(str(p))
+    lst = out_dir / "data.list"
+    lst.write_text("\n".join(paths))
+    meta["list"] = str(lst)
+    return meta
+
+
+def _read_metric(model_dir: Path, name: str, key: str) -> float:
+    rows = [json.loads(l) for l in
+            (model_dir / f"{name}_metrics.jsonl").read_text().splitlines()]
+    vals = [r[key] for r in rows if key in r]
+    return float(vals[-1]) if vals else float("nan")
+
+
+def _xcorr_peak(x: np.ndarray, y: np.ndarray, max_lag: int) -> float:
+    """Peak normalized cross-correlation of x vs y over +-max_lag."""
+    n = min(len(x), len(y))
+    x = x[:n] - x[:n].mean()
+    y = y[:n] - y[:n].mean()
+    best = -1.0
+    for lag in range(-max_lag, max_lag + 1, max(max_lag // 40, 1)):
+        if lag >= 0:
+            a, b = x[lag:], y[: n - lag]
+        else:
+            a, b = x[: n + lag], y[-lag:]
+        denom = np.sqrt((a * a).sum() * (b * b).sum()) + 1e-12
+        best = max(best, float((a * b).sum() / denom))
+    return best
+
+
+def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
+        dac_iters: int = 1500, flow_epochs: int = 400, llm_epochs: int = 300,
+        llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 1e-3,
+        config: str = str(REPO / "configs/tiny.yaml")) -> dict:
+    import jax
+
+    from minimax_speech_tpu import config as cfg_lib
+    from minimax_speech_tpu.cli import (extract_dac_latents, extract_fsq,
+                                        train as train_cli, train_dac)
+    from minimax_speech_tpu.utils.params_io import save_params
+
+    workdir = Path(workdir)
+    corpus = workdir / "corpus"
+    model_dir = workdir / "model"
+    model_dir.mkdir(parents=True, exist_ok=True)
+    meta = make_corpus(corpus, n_utts=n_utts, seg_seconds=seg_seconds)
+
+    # resolved config for both training and the final TTS model dir;
+    # eval-friendly knobs: byte-tokenizer text is ~1.2 chars/speech-token
+    # so the reference's 2x/20x length ratios (llm.py:668-670) don't fit
+    data = cfg_lib.load_yaml(config)
+    data = cfg_lib.apply_overrides(data, [
+        "model.min_token_text_ratio=0.1",
+        "model.max_token_text_ratio=2.0",
+        "model.max_speech_tokens=48",
+        "model.flow.n_timesteps=10",
+    ])
+    cfg_path = model_dir / "config.yaml"
+    import yaml
+    cfg_path.write_text(yaml.safe_dump(data))
+    tts_cfg = cfg_lib.build_tts_config(data["model"])
+
+    # 1. S3 tokenizer: fixed-seed weights define the token vocabulary
+    # (no released ckpt reachable here; determinism is what matters)
+    from minimax_speech_tpu.models import s3tokenizer as s3
+    s3_model = s3.S3TokenizerV2(tts_cfg.s3)
+    s3_vars = jax.jit(s3_model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, tts_cfg.s3.n_mels), np.float32), np.array([64]))
+    save_params(model_dir / "s3.npz", jax.device_get(s3_vars))
+    extract_fsq.main(["--file_list", meta["list"],
+                      "--ckpt", str(model_dir / "s3.npz"),
+                      "--config", str(cfg_path)])
+
+    # 2. DAC-VAE: train the codec on the corpus, export generator params
+    train_dac.main([
+        "--train_folders", str(corpus), "--model_dir",
+        str(workdir / "exp_dac"), "--config", str(cfg_path),
+        "--batch_size", "2", "--duration", "0.38",
+        "--num_iters", str(dac_iters), "--save_iters", str(dac_iters),
+        "--log_interval", "50", "--lr", str(dac_lr),
+        # pure-reconstruction overfit: adversarial terms never engage —
+        # with a handful of utterances the discriminator wins long
+        # before the generator fits (measured: SNR −11.7 dB at 300
+        # GAN-on iters vs positive SNR recon-only)
+        "--gan_start_step", str(10 ** 9),
+        "--warmup_steps", "100",
+        # mel alone is phase-blind: waveform L1 + multi-scale STFT make
+        # the overfit codec phase-exact so waveform SNR is meaningful
+        "--lambda_waveform", "10.0", "--lambda_stft", "1.0",
+        "--augment_prob", "0.0", "--sample_freq", str(10 * dac_iters),
+        "--export_npz", str(model_dir / "codec.npz")])
+
+    # 3. latents from the trained codec
+    extract_dac_latents.main(["--file_list", meta["list"],
+                              "--ckpt", str(model_dir / "codec.npz"),
+                              "--config", str(cfg_path),
+                              "--verify_fraction", "0"])
+
+    # 4. flow: tokens -> latents, overfit
+    train_cli.main([
+        "--model", "flow", "--config", str(cfg_path),
+        "--train_data", meta["list"],
+        "--model_dir", str(workdir / "exp_flow"),
+        "--max_epoch", str(flow_epochs), "--dp", "1",
+        "--export_npz", str(model_dir / "flow.npz"),
+        "--override", f"train.lr={flow_lr}",
+        "--override", "train.warmup_steps=20",
+        "--override", "train.log_interval=50",
+        "--override", "train.save_per_step=1000000"])
+
+    # 5. LM: text -> tokens, overfit (unistream only: matches the
+    # zero-shot inference plan layout)
+    train_cli.main([
+        "--model", "llm", "--config", str(cfg_path),
+        "--train_data", meta["list"],
+        "--model_dir", str(workdir / "exp_llm"),
+        "--max_epoch", str(llm_epochs), "--dp", "1",
+        "--export_npz", str(model_dir / "llm.npz"),
+        "--override", f"train.lr={llm_lr}",
+        "--override", "train.warmup_steps=20",
+        "--override", "train.bistream_prob=0.0",
+        "--override", "train.log_interval=50",
+        "--override", "train.save_per_step=1000000"])
+
+    metrics = {
+        "llm_train_acc": _read_metric(workdir / "exp_llm", "llm", "acc"),
+        "llm_train_loss": _read_metric(workdir / "exp_llm", "llm", "loss"),
+        "flow_train_loss": _read_metric(workdir / "exp_flow", "flow",
+                                        "loss"),
+    }
+    metrics.update(evaluate(model_dir, corpus, meta))
+    return metrics
+
+
+def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
+    """Trained-weights evaluation through the REAL inference surfaces."""
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.infer.api import TTS
+    from minimax_speech_tpu.infer.pipeline import next_bucket
+    from minimax_speech_tpu.models import dac_vae
+    from minimax_speech_tpu.models import llm as llm_mod
+    from minimax_speech_tpu.models.flow import flow_inference
+
+    tts = TTS(model_dir=str(model_dir))
+    p = tts.pipeline
+    cfg = p.cfg
+    sr = meta["sr"]
+    u = meta["utts"][0]
+    stem = Path(u["wav"]).with_suffix("")
+    gt_tok = np.load(str(stem) + "_fsq.npy")
+    gt_lat = np.load(str(stem) + "_latent2x.npz")["mu"]
+    n = min(len(gt_tok), gt_lat.shape[0] // 2)
+    gt_tok, gt_lat = gt_tok[:n], gt_lat[: 2 * n]
+    k = n // 2
+
+    wav_full = _synth(np.array(u["notes_a"] + u["notes_b"]),
+                      2 * meta["seg_seconds"], sr)
+
+    # conditioning exactly as in training: speaker encoder on the
+    # utterance's own mel (train crops are random 0.5-4 s slices of it)
+    prompt_mel = p.extract_prompt_mel(wav_full)
+    lm_spk, flow_emb = p.speaker_embedding(prompt_mel)
+
+    # (a) LM continuation on the GROUND-TRUTH prefix: tokens k..n must
+    # come back (reference bar: TRAINING_GUIDE.md:223 "acc >95%")
+    text = (corpus / "utt0.txt").read_text().strip()
+    full_text = np.asarray(tts.frontend.extract_text_tokens(text), np.int32)
+    src, tok, plen = llm_mod.build_inference_plan(
+        full_text, gt_tok[:k], use_spk=cfg.lm.use_speaker_encoder)
+    pad_to = next_bucket(src.shape[1])
+    src = np.pad(src, ((0, 0), (0, pad_to - src.shape[1])))
+    tok = np.pad(tok, ((0, 0), (0, pad_to - tok.shape[1])))
+    out, count = llm_mod.generate(
+        p.lm, p.lm_vars, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), lm_spk, jax.random.PRNGKey(0),
+        jnp.array([2]), jnp.array([n - k + 8]),
+        max_steps=cfg.max_speech_tokens)
+    gen = np.asarray(out)[0, : int(count[0])]
+    expect = gt_tok[k:]
+    m = min(len(gen), len(expect))
+    token_match = float((gen[:m] == expect[:m]).mean()) if m else 0.0
+    token_len_err = abs(int(count[0]) - len(expect))
+
+    # (b) flow reconstruction from ground-truth tokens (reference bar:
+    # TRAINING_GUIDE.md:224 "flow recon <0.1")
+    tl = n
+    tpad = next_bucket(tl)
+    tok_buf = np.zeros((1, tpad), np.int32)
+    tok_buf[0, :tl] = gt_tok
+    feat = flow_inference(
+        p.flow, p.flow_vars, jnp.asarray(tok_buf), jnp.array([tl]),
+        jnp.asarray(gt_lat[: 2 * k])[None], flow_emb, p.noise)
+    feat = np.asarray(feat)[0, : 2 * (n - k)]
+    tgt = gt_lat[2 * k:]
+    flow_mse = float(np.mean((feat - tgt) ** 2))
+    flow_nmse = flow_mse / float(np.var(tgt) + 1e-12)
+
+    # (c) the full zero-shot API: prompt = segment A, text = B's
+    # transcript -> the synthesized wav must BE segment B
+    a16k = _synth(np.array(u["notes_a"]), meta["seg_seconds"], 16000)
+    outs = list(tts.inference_zero_shot(u["text_b"], u["text_a"], a16k,
+                                        stream=False, seed=0))
+    syn = np.concatenate([o["tts_speech"][0] for o in outs])
+    b24k = _synth(np.array(u["notes_b"]), meta["seg_seconds"], sr)
+    # oracle decode: ground-truth latents through the trained codec —
+    # isolates LM+flow fidelity from codec quality
+    dec = jax.jit(lambda v, z: p.dac.apply(v, z,
+                                           method=dac_vae.DACVAE.decode))
+    oracle = np.asarray(dec(p.codec_vars,
+                            jnp.asarray(tgt)[None]))[0, :, 0]
+    wav_corr_oracle = _xcorr_peak(syn, oracle, max_lag=960)
+    wav_corr_gt = _xcorr_peak(syn, b24k, max_lag=960)
+
+    # (d) codec fidelity on training audio
+    a = dac_vae.pad_to_hop(wav_full[None, :], cfg.dac.hop_length)
+    mu = np.asarray(p._encode_prompt(p.codec_vars,
+                                     jnp.asarray(a[..., None])))
+    rec = np.asarray(dec(p.codec_vars, jnp.asarray(mu)))[0, :, 0]
+    nn = min(len(rec), len(wav_full))
+    err = rec[:nn] - wav_full[:nn]
+    dac_snr_db = float(10 * np.log10(
+        (wav_full[:nn] ** 2).mean() / (err ** 2).mean() + 1e-12))
+    dac_corr = _xcorr_peak(rec, wav_full, max_lag=480)
+
+    return {"token_match": token_match, "token_len_err": token_len_err,
+            "gen_len": int(count[0]), "expect_len": len(expect),
+            "flow_mse": flow_mse, "flow_nmse": flow_nmse,
+            "wav_corr_oracle": wav_corr_oracle, "wav_corr_gt": wav_corr_gt,
+            "dac_snr_db": dac_snr_db, "dac_corr": dac_corr,
+            "syn_seconds": len(syn) / sr}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=str, required=True)
+    ap.add_argument("--n_utts", type=int, default=4)
+    ap.add_argument("--dac_iters", type=int, default=300)
+    ap.add_argument("--flow_epochs", type=int, default=200)
+    ap.add_argument("--llm_epochs", type=int, default=300)
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe the workdir first")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu); needed because "
+                         "sitecustomize ignores JAX_PLATFORMS")
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    wd = Path(args.workdir)
+    if args.fresh and wd.exists():
+        shutil.rmtree(wd)
+    metrics = run(wd, n_utts=args.n_utts, dac_iters=args.dac_iters,
+                  flow_epochs=args.flow_epochs, llm_epochs=args.llm_epochs)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
