@@ -31,14 +31,19 @@ def main(argv=None):
     p.add_argument("--buckets", default="64,128,256")
     p.add_argument("--gen_tokens", type=int, default=None,
                    help="decode max_steps to compile (default: config)")
+    p.add_argument("--serving", action="store_true",
+                   help="also compile the serving surfaces (fused "
+                        "one-shot, batched, continuous, streaming) so a "
+                        "later `cli.serve` start only deserializes")
+    p.add_argument("--tokenizer_path", default=None)
     args = p.parse_args(argv)
 
-    import jax
+    import jax  # noqa: F401
 
     # persistent compilation cache: the serialized-executable store
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(args.cache_dir).absolute()))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from minimax_speech_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache(str(Path(args.cache_dir).absolute()))
 
     import jax.numpy as jnp
 
@@ -87,6 +92,13 @@ def main(argv=None):
                          max_steps=args.gen_tokens or cfg.max_speech_tokens)
         print(f"bucket {b}: all stages compiled "
               f"({time.time() - t0:.1f}s cumulative)")
+
+    if args.serving:
+        from minimax_speech_tpu.infer.api import TTS
+        from minimax_speech_tpu.infer.warmup import warm_serving
+        tts = TTS(pipeline=pipe, tokenizer_path=args.tokenizer_path)
+        warm_serving(tts, scheduler="window")
+        warm_serving(tts, scheduler="continuous", streaming=False)
     print(f"export done; executables cached in {args.cache_dir}")
 
 

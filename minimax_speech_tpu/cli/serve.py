@@ -294,6 +294,11 @@ def main(argv=None):
                         "join/leave the running decode)")
     p.add_argument("--slots", type=int, default=4,
                    help="(continuous) decode lanes")
+    p.add_argument("--warm", dest="warm", action="store_true", default=True,
+                   help="pre-compile serving programs before binding the "
+                        "port (default; compiled executables persist via "
+                        "the on-disk cache, so later starts take seconds)")
+    p.add_argument("--no_warm", dest="warm", action="store_false")
     args = p.parse_args(argv)
 
     import jax
@@ -311,6 +316,16 @@ def main(argv=None):
                   tokenizer_path=args.tokenizer_path)
     else:
         raise SystemExit("need --ckpt_dir or --random_init")
+
+    if args.warm:
+        import time as _time
+
+        from minimax_speech_tpu.infer.warmup import warm_serving
+        t0 = _time.time()
+        warm_serving(tts, scheduler=args.scheduler,
+                     max_batch=args.max_batch, slots=args.slots)
+        print(f"warmup finished in {_time.time() - t0:.1f}s; "
+              "ready to serve")
 
     if args.scheduler == "continuous":
         server = ContinuousServer(tts, slots=args.slots)

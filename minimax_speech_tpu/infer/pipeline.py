@@ -64,6 +64,12 @@ class TTSPipeline:
 
     def __init__(self, cfg: TTSConfig, lm_vars, flow_vars, codec_vars,
                  s3_vars=None):
+        # serialized-executable cache: a fresh process deserializes
+        # previously compiled programs instead of recompiling (~seconds
+        # vs minutes); MSTPU_XLA_CACHE=0 disables
+        from minimax_speech_tpu.utils.compile_cache import \
+            enable_persistent_compile_cache
+        enable_persistent_compile_cache()
         self.cfg = cfg
         self.lm = llm_mod.SpeechLM(cfg.lm)
         self.flow = FlowModel(cfg.flow)

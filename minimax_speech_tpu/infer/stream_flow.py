@@ -33,16 +33,9 @@ from minimax_speech_tpu.models.flow import FlowModel
 from minimax_speech_tpu.models.upsample_encoder import make_encoder_cache
 
 
-def enable_persistent_compile_cache(path: str = "~/.cache/minimax_speech_tpu/xla"):
-    """Serialize compiled executables to disk so the streaming chunk
-    program's large one-time compile (10-step scanned UNet + cached
-    encoder) is paid once per machine, the TPU-native analogue of the
-    reference's prebuilt TRT engine store (utils/file_utils.py:53-88)."""
-    import os
-    p = os.path.expanduser(path)
-    os.makedirs(p, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", p)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# re-exported for backward compatibility; see utils/compile_cache.py
+from minimax_speech_tpu.utils.compile_cache import \
+    enable_persistent_compile_cache  # noqa: E402,F401
 
 
 class ChunkedFlowSession:

@@ -1,0 +1,74 @@
+"""Differentiable chunk-causal attention via TPU splash attention.
+
+The forward-only Pallas kernel (kernels/flash_attention.py) covers
+inference; TRAINING at long T (the reference trains flow with dynamic
+chunk masks, speech/cosyvoice/utils/mask.py:161-236) needs a backward
+pass. Splash attention (jax.experimental.pallas.ops.tpu) ships fwd+bwd
+kernels over block-sparse masks, so the O(T*chunk) sparsity of the
+chunk pattern is exploited in both directions instead of falling back
+to XLA attention with a materialized (B, 1, T, T) bias.
+
+The chunk predicate — q attends k iff k < (q//chunk + 1) * chunk,
+optionally limited to `left_chunks` whole chunks back — is dense
+numpy at mask-build time (processed once per static shape into splash
+MaskInfo, cached), and per-sample padding rides segment ids.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas.ops.tpu.splash_attention import (
+    splash_attention_kernel as _sk,
+    splash_attention_mask as _sm,
+)
+
+
+def chunk_mask_dense(t: int, chunk: int, left_chunks: int) -> np.ndarray:
+    """(T, T) bool: the streaming chunk-causal predicate
+    (reference mask semantics: utils/mask.py add_optional_chunk_mask)."""
+    q = np.arange(t)[:, None]
+    k = np.arange(t)[None, :]
+    if chunk <= 0:
+        ok = np.ones((t, t), bool)
+    else:
+        ok = k < (q // chunk + 1) * chunk
+        if left_chunks >= 0:
+            ok &= k >= (q // chunk - left_chunks) * chunk
+    return ok
+
+
+@functools.lru_cache(maxsize=32)
+def _kernel(heads: int, t: int, chunk: int, left_chunks: int,
+            interpret: bool):
+    mask = _sm.MultiHeadMask(
+        [_sm.NumpyMask(chunk_mask_dense(t, chunk, left_chunks))] * heads)
+    return _sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1,
+                               interpret=interpret)
+
+
+# tests set this True so the kernel runs (slowly) on CPU
+_INTERPRET = False
+
+
+def splash_chunk_attention(q, k, v, kv_len, chunk: int, left_chunks: int,
+                           scale: float | None = None,
+                           interpret: bool | None = None):
+    """q, k, v: (B, H, T, D); kv_len: (B,) true lengths (pad masked via
+    segment ids). Returns (B, H, T, D). Differentiable."""
+    b, h, t, d = q.shape
+    scale = scale if scale is not None else 1.0 / np.sqrt(d)
+    interpret = _INTERPRET if interpret is None else interpret
+    kernel = _kernel(h, t, int(chunk), int(left_chunks), interpret)
+    # splash applies no internal scaling; fold it into q
+    q = (q * scale).astype(q.dtype)
+    # valid tokens -> segment 0, pads -> segment 1 (pads only see pads)
+    seg = (jnp.arange(t)[None, :] >= kv_len[:, None]).astype(jnp.int32)
+
+    def one(qi, ki, vi, si):
+        return kernel(qi, ki, vi,
+                      segment_ids=_sk.SegmentIds(q=si, kv=si))
+
+    return jax.vmap(one)(q, k, v, seg)

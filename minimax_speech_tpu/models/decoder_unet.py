@@ -56,6 +56,10 @@ class DecoderUNetConfig:
     # T=2048, 1.49x at T=4096); XLA wins at production one-shot shapes
     # T<=1024 (0.76-0.96x) so auto leaves those on XLA.
     use_flash_attention: Optional[bool] = None
+    # which kernel serves the flash region: "splash" (fwd+bwd — safe
+    # under grad, so long-form TRAINING also gets block-sparse
+    # attention), "pallas" (custom fwd-only kernel), "xla"
+    flash_backend: str = "splash"
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0
@@ -161,13 +165,24 @@ class UNetTransformerBlock(nn.Module):
             wts = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             o = jnp.einsum("bhqk,bkhd->bqhd", wts, vc).reshape(b, t, inner)
         elif flash_ctx is not None:
-            from minimax_speech_tpu.kernels.flash_attention import \
-                flash_attention
-            o = flash_attention(
-                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), kv_len=flash_ctx["kv_len"],
-                chunk=flash_ctx["chunk"],
-                left_chunks=flash_ctx["left_chunks"])
+            if flash_ctx.get("backend", "pallas") == "splash":
+                # differentiable block-sparse kernel: also serves the
+                # TRAINING path at long T (fwd+bwd)
+                from minimax_speech_tpu.kernels.splash import \
+                    splash_chunk_attention
+                o = splash_chunk_attention(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), kv_len=flash_ctx["kv_len"],
+                    chunk=flash_ctx["chunk"],
+                    left_chunks=flash_ctx["left_chunks"])
+            else:
+                from minimax_speech_tpu.kernels.flash_attention import \
+                    flash_attention
+                o = flash_attention(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), kv_len=flash_ctx["kv_len"],
+                    chunk=flash_ctx["chunk"],
+                    left_chunks=flash_ctx["left_chunks"])
             o = jnp.swapaxes(o, 1, 2).reshape(b, t, inner)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
@@ -245,12 +260,14 @@ class CausalConditionalDecoder(nn.Module):
                 use_flash = (tlen >= 2048 and streaming
                              and cfg.num_left_chunks >= 0
                              and unit_align is None)
-            if use_flash and tlen % 128 == 0 and not collect:
+            if use_flash and tlen % 128 == 0 and not collect \
+                    and cfg.flash_backend != "xla":
                 flash_ctx = {"kv_len": jnp.sum(boolmask, axis=1,
                                                dtype=jnp.int32),
                              "chunk": cfg.static_chunk_size if streaming
                              else 0,
-                             "left_chunks": cfg.num_left_chunks}
+                             "left_chunks": cfg.num_left_chunks,
+                             "backend": cfg.flash_backend}
                 attn_bias = None
             else:
                 if streaming and unit_align is not None:

@@ -1,0 +1,42 @@
+"""Persistent XLA executable cache control.
+
+The TPU-native analogue of the reference's prebuilt-engine store
+(reference: speech/cosyvoice/utils/file_utils.py:53-88 ONNX->TRT
+engine caching): every jitted program's compiled executable is
+serialized to disk on first compile and deserialized on later process
+starts, so a fresh serving process skips the multi-minute cold
+compiles (the streaming chunk program alone is ~220 s cold).
+
+Enabled by default from TTSPipeline / streaming-session construction.
+Environment overrides:
+  MSTPU_XLA_CACHE=<dir>  cache location (default ~/.cache/minimax_speech_tpu/xla)
+  MSTPU_XLA_CACHE=0      disable entirely
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT = "~/.cache/minimax_speech_tpu/xla"
+_enabled_path: str | None = None
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str | None:
+    """Idempotently point JAX's compilation cache at a disk directory.
+    Returns the active path, or None if disabled via MSTPU_XLA_CACHE=0."""
+    global _enabled_path
+    env = os.environ.get("MSTPU_XLA_CACHE")
+    if env == "0":
+        return None
+    if path is None and _enabled_path is not None:
+        # a default call never overrides an explicitly chosen location
+        return _enabled_path
+    p = os.path.expanduser(path or env or _DEFAULT)
+    if _enabled_path == p:
+        return p
+    import jax
+
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _enabled_path = p
+    return p

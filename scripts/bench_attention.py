@@ -84,6 +84,39 @@ def main():
     wins = sum(1 for r in rows if r[3] > 1.05)
     print(f"\nflash wins (>5%): {wins}/{len(rows)}")
 
+    # -- TRAINING (fwd+bwd): splash vs XLA ---------------------------------
+    # (the custom pallas kernel is fwd-only; splash ships both passes)
+    from minimax_speech_tpu.kernels.splash import splash_chunk_attention
+    print("\ntraining fwd+bwd (grad wrt q,k,v):")
+    for name, b, h, t, d, chunk, left, causal, dt in cases:
+        if causal or chunk == 0:
+            continue  # flow-training shapes only
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(k1, (b, h, t, d), dt)
+        k = jax.random.normal(k2, (b, h, t, d), dt)
+        v = jax.random.normal(k3, (b, h, t, d), dt)
+        kv_len = jnp.full((b,), t, jnp.int32)
+
+        def mk(fn):
+            def loss(q, k, v):
+                return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+            g = jax.grad(loss, argnums=(0, 1, 2))
+
+            def step(q, k, v):
+                gq, gk, gv = g(q, k, v)
+                return (q + 1e-6 * gq.astype(q.dtype)), None
+            # chain like timeit: q fed forward so nothing is DCE'd
+            return lambda q, k, v: step(q, k, v)[0]
+
+        sp = mk(lambda q, k, v: splash_chunk_attention(
+            q, k, v, kv_len=kv_len, chunk=chunk, left_chunks=left))
+        xl = mk(lambda q, k, v: reference_attention(
+            q, k, v, kv_len=kv_len, chunk=chunk, left_chunks=left))
+        ms_sp = timeit(sp, q, k, v, n=8)
+        ms_xl = timeit(xl, q, k, v, n=8)
+        print(f"{name:26s} splash {ms_sp:7.3f} ms  xla {ms_xl:7.3f} ms  "
+              f"speedup {ms_xl / ms_sp:5.2f}x", flush=True)
+
 
 if __name__ == "__main__":
     main()

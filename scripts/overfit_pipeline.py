@@ -136,7 +136,8 @@ def _xcorr_peak(x: np.ndarray, y: np.ndarray, max_lag: int) -> float:
 
 def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         dac_iters: int = 1500, flow_epochs: int = 400, llm_epochs: int = 300,
-        llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 1e-3,
+        llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 5e-4,
+        resume: bool = True,
         config: str = str(REPO / "configs/tiny.yaml")) -> dict:
     import jax
 
@@ -166,68 +167,84 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     cfg_path.write_text(yaml.safe_dump(data))
     tts_cfg = cfg_lib.build_tts_config(data["model"])
 
+    def stage_done(*outputs) -> bool:
+        # stage-level resume: a tunnel hang / crash only loses the
+        # stage in flight, not the whole pipeline
+        return resume and all(Path(o).exists() for o in outputs)
+
     # 1. S3 tokenizer: fixed-seed weights define the token vocabulary
     # (no released ckpt reachable here; determinism is what matters)
-    from minimax_speech_tpu.models import s3tokenizer as s3
-    s3_model = s3.S3TokenizerV2(tts_cfg.s3)
-    s3_vars = jax.jit(s3_model.init)(
-        jax.random.PRNGKey(0),
-        np.zeros((1, 64, tts_cfg.s3.n_mels), np.float32), np.array([64]))
-    save_params(model_dir / "s3.npz", jax.device_get(s3_vars))
-    extract_fsq.main(["--file_list", meta["list"],
-                      "--ckpt", str(model_dir / "s3.npz"),
-                      "--config", str(cfg_path)])
+    fsq_files = [str(Path(u["wav"]).with_suffix("")) + "_fsq.npy"
+                 for u in meta["utts"]]
+    if not stage_done(model_dir / "s3.npz", *fsq_files):
+        from minimax_speech_tpu.models import s3tokenizer as s3
+        s3_model = s3.S3TokenizerV2(tts_cfg.s3)
+        s3_vars = jax.jit(s3_model.init)(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 64, tts_cfg.s3.n_mels), np.float32),
+            np.array([64]))
+        save_params(model_dir / "s3.npz", jax.device_get(s3_vars))
+        extract_fsq.main(["--file_list", meta["list"],
+                          "--ckpt", str(model_dir / "s3.npz"),
+                          "--config", str(cfg_path)])
 
     # 2. DAC-VAE: train the codec on the corpus, export generator params
-    train_dac.main([
-        "--train_folders", str(corpus), "--model_dir",
-        str(workdir / "exp_dac"), "--config", str(cfg_path),
-        "--batch_size", "2", "--duration", "0.38",
-        "--num_iters", str(dac_iters), "--save_iters", str(dac_iters),
-        "--log_interval", "50", "--lr", str(dac_lr),
-        # pure-reconstruction overfit: adversarial terms never engage —
-        # with a handful of utterances the discriminator wins long
-        # before the generator fits (measured: SNR −11.7 dB at 300
-        # GAN-on iters vs positive SNR recon-only)
-        "--gan_start_step", str(10 ** 9),
-        "--warmup_steps", "100",
-        # mel alone is phase-blind: waveform L1 + multi-scale STFT make
-        # the overfit codec phase-exact so waveform SNR is meaningful
-        "--lambda_waveform", "10.0", "--lambda_stft", "1.0",
-        "--augment_prob", "0.0", "--sample_freq", str(10 * dac_iters),
-        "--export_npz", str(model_dir / "codec.npz")])
+    if not stage_done(model_dir / "codec.npz"):
+        train_dac.main([
+            "--train_folders", str(corpus), "--model_dir",
+            str(workdir / "exp_dac"), "--config", str(cfg_path),
+            "--batch_size", "2", "--duration", "0.38",
+            "--num_iters", str(dac_iters), "--save_iters", "200",
+            "--log_interval", "50", "--lr", str(dac_lr),
+            # pure-reconstruction overfit: adversarial terms never
+            # engage — with a handful of utterances the discriminator
+            # wins long before the generator fits (measured: SNR
+            # −11.7 dB at 300 GAN-on iters vs positive SNR recon-only)
+            "--gan_start_step", str(10 ** 9),
+            "--warmup_steps", "100",
+            # mel alone is phase-blind: waveform L1 + multi-scale STFT
+            # make the overfit codec phase-exact so waveform SNR is
+            # meaningful
+            "--lambda_waveform", "10.0", "--lambda_stft", "1.0",
+            "--augment_prob", "0.0", "--sample_freq", str(10 * dac_iters),
+            "--export_npz", str(model_dir / "codec.npz")])
 
     # 3. latents from the trained codec
-    extract_dac_latents.main(["--file_list", meta["list"],
-                              "--ckpt", str(model_dir / "codec.npz"),
-                              "--config", str(cfg_path),
-                              "--verify_fraction", "0"])
+    lat_files = [str(Path(u["wav"]).with_suffix("")) + "_latent2x.npz"
+                 for u in meta["utts"]]
+    if not stage_done(*lat_files):
+        extract_dac_latents.main(["--file_list", meta["list"],
+                                  "--ckpt", str(model_dir / "codec.npz"),
+                                  "--config", str(cfg_path),
+                                  "--verify_fraction", "0"])
 
     # 4. flow: tokens -> latents, overfit
-    train_cli.main([
-        "--model", "flow", "--config", str(cfg_path),
-        "--train_data", meta["list"],
-        "--model_dir", str(workdir / "exp_flow"),
-        "--max_epoch", str(flow_epochs), "--dp", "1",
-        "--export_npz", str(model_dir / "flow.npz"),
-        "--override", f"train.lr={flow_lr}",
-        "--override", "train.warmup_steps=20",
-        "--override", "train.log_interval=50",
-        "--override", "train.save_per_step=1000000"])
+    if not stage_done(model_dir / "flow.npz"):
+        train_cli.main([
+            "--model", "flow", "--config", str(cfg_path),
+            "--train_data", meta["list"],
+            "--model_dir", str(workdir / "exp_flow"),
+            "--max_epoch", str(flow_epochs), "--dp", "1",
+            "--export_npz", str(model_dir / "flow.npz"),
+            "--override", f"train.lr={flow_lr}",
+            "--override", "train.warmup_steps=20",
+            "--override", "train.log_interval=50",
+            "--override", "train.save_per_step=100"])
 
     # 5. LM: text -> tokens, overfit (unistream only: matches the
     # zero-shot inference plan layout)
-    train_cli.main([
-        "--model", "llm", "--config", str(cfg_path),
-        "--train_data", meta["list"],
-        "--model_dir", str(workdir / "exp_llm"),
-        "--max_epoch", str(llm_epochs), "--dp", "1",
-        "--export_npz", str(model_dir / "llm.npz"),
-        "--override", f"train.lr={llm_lr}",
-        "--override", "train.warmup_steps=20",
-        "--override", "train.bistream_prob=0.0",
-        "--override", "train.log_interval=50",
-        "--override", "train.save_per_step=1000000"])
+    if not stage_done(model_dir / "llm.npz"):
+        train_cli.main([
+            "--model", "llm", "--config", str(cfg_path),
+            "--train_data", meta["list"],
+            "--model_dir", str(workdir / "exp_llm"),
+            "--max_epoch", str(llm_epochs), "--dp", "1",
+            "--export_npz", str(model_dir / "llm.npz"),
+            "--override", f"train.lr={llm_lr}",
+            "--override", "train.warmup_steps=20",
+            "--override", "train.bistream_prob=0.0",
+            "--override", "train.log_interval=50",
+            "--override", "train.save_per_step=100"])
 
     metrics = {
         "llm_train_acc": _read_metric(workdir / "exp_llm", "llm", "acc"),
@@ -343,8 +360,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", type=str, required=True)
     ap.add_argument("--n_utts", type=int, default=4)
-    ap.add_argument("--dac_iters", type=int, default=300)
-    ap.add_argument("--flow_epochs", type=int, default=200)
+    ap.add_argument("--dac_iters", type=int, default=1500)
+    ap.add_argument("--flow_epochs", type=int, default=400)
     ap.add_argument("--llm_epochs", type=int, default=300)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the workdir first")
@@ -352,6 +369,9 @@ def main(argv=None):
                     help="force a jax platform (e.g. cpu); needed because "
                          "sitecustomize ignores JAX_PLATFORMS")
     args = ap.parse_args(argv)
+    from minimax_speech_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)

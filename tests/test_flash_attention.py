@@ -68,22 +68,29 @@ def test_unet_flash_attention_matches_dense(rng):
     params = dense.init(jax.random.PRNGKey(0), *args)
     golden = dense.apply(params, *args)
 
-    flash_cfg = dataclasses.replace(cfg, use_flash_attention=True)
-    flash_model = CausalConditionalDecoder(flash_cfg)
-    orig = pl.pallas_call
+    from minimax_speech_tpu.kernels import splash
 
-    def patched(*a, **kw):
-        kw.setdefault("interpret", True)
-        return orig(*a, **kw)
+    for backend in ("splash", "pallas"):
+        flash_cfg = dataclasses.replace(cfg, use_flash_attention=True,
+                                        flash_backend=backend)
+        flash_model = CausalConditionalDecoder(flash_cfg)
+        orig = pl.pallas_call
 
-    pl.pallas_call = patched
-    try:
-        ours = flash_model.apply(params, *args)
-    finally:
-        pl.pallas_call = orig
-    # compare valid frames only
-    np.testing.assert_allclose(np.asarray(ours)[0, :100],
-                               np.asarray(golden)[0, :100], atol=3e-5)
+        def patched(*a, **kw):
+            kw.setdefault("interpret", True)
+            return orig(*a, **kw)
+
+        pl.pallas_call = patched
+        splash._INTERPRET = True
+        try:
+            ours = flash_model.apply(params, *args)
+        finally:
+            pl.pallas_call = orig
+            splash._INTERPRET = False
+        # compare valid frames only
+        np.testing.assert_allclose(np.asarray(ours)[0, :100],
+                                   np.asarray(golden)[0, :100], atol=3e-5,
+                                   err_msg=backend)
 
 
 def test_unet_flash_auto_policy(rng):
@@ -111,21 +118,27 @@ def test_unet_flash_auto_policy(rng):
     auto = CausalConditionalDecoder(cfg)
     params = auto.init(jax.random.PRNGKey(0), *args, streaming=False)
 
+    from minimax_speech_tpu.kernels import splash
+
     calls = []
-    orig = pl.pallas_call
+    orig_kernel = splash._kernel
 
-    def patched(*a, **kw):
+    def counting_kernel(*a, **kw):
         calls.append(1)
-        kw.setdefault("interpret", True)
-        return orig(*a, **kw)
+        return orig_kernel(*a, **kw)
 
-    with mock.patch.object(pl, "pallas_call", patched):
-        # one-shot (streaming=False): auto must stay on XLA
-        _ = auto.apply(params, *args, streaming=False)
-        assert not calls
-        # long-form streaming window: auto must pick the flash kernel
-        ours = auto.apply(params, *args, streaming=True)
-        assert calls
+    splash._kernel.cache_clear()
+    splash._INTERPRET = True
+    try:
+        with mock.patch.object(splash, "_kernel", counting_kernel):
+            # one-shot (streaming=False): auto must stay on XLA
+            _ = auto.apply(params, *args, streaming=False)
+            assert not calls
+            # long-form streaming window: auto must pick the flash kernel
+            ours = auto.apply(params, *args, streaming=True)
+            assert calls
+    finally:
+        splash._INTERPRET = False
     off = CausalConditionalDecoder(
         dataclasses.replace(cfg, use_flash_attention=False))
     golden = off.apply(params, *args, streaming=True)
@@ -133,3 +146,49 @@ def test_unet_flash_auto_policy(rng):
     np.testing.assert_allclose(np.asarray(ours)[0, :n],
                                np.asarray(golden)[0, :n],
                                atol=5e-5, rtol=1e-4)
+
+
+def test_unet_splash_training_grad_matches_dense(rng):
+    """Long-form TRAINING attention: gradients through the splash
+    backend must match the dense-bias XLA path (the fwd-only pallas
+    kernel cannot serve training; splash ships fwd+bwd)."""
+    import dataclasses
+    from minimax_speech_tpu.kernels import splash
+    from minimax_speech_tpu.models.decoder_unet import (
+        CausalConditionalDecoder, DecoderUNetConfig)
+
+    cfg = DecoderUNetConfig(in_channels=32, out_channels=8, channels=(16,),
+                            attention_head_dim=64, n_blocks=1,
+                            num_mid_blocks=0, num_heads=2,
+                            static_chunk_size=50, num_left_chunks=2,
+                            use_flash_attention=True,
+                            flash_backend="splash")
+    t = 256
+    x = jnp.asarray(rng.standard_normal((1, t, 8)) * 0.3, jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((1, t, 8)) * 0.3, jnp.float32)
+    mask = jnp.asarray((np.arange(t) < t - 40)[None].astype(np.float32))
+    args = (mask, mu, jnp.array([0.4]), jnp.zeros((1, 8)),
+            jnp.zeros((1, t, 8)))
+
+    model = CausalConditionalDecoder(cfg)
+    dense = CausalConditionalDecoder(
+        dataclasses.replace(cfg, use_flash_attention=False))
+    params = dense.init(jax.random.PRNGKey(0), x, *args, streaming=True)
+
+    def loss(m):
+        def f(xx):
+            out = m.apply(params, xx, *args, streaming=True)
+            return jnp.sum((out * mask[..., None]) ** 2)
+        return f
+
+    splash._INTERPRET = True
+    try:
+        g_ours = jax.grad(loss(model))(x)
+        l_ours = loss(model)(x)
+    finally:
+        splash._INTERPRET = False
+    g_ref = jax.grad(loss(dense))(x)
+    l_ref = loss(dense)(x)
+    np.testing.assert_allclose(float(l_ours), float(l_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               atol=5e-4, rtol=1e-3)

@@ -1,0 +1,52 @@
+"""End-to-end learn-and-speak proof on CPU: a deterministic mini-corpus
+is trained through the REAL CLIs (extract_fsq -> train_dac ->
+extract_dac_latents -> train flow -> train llm) and then synthesized
+through the REAL zero-shot inference API; the trained system must
+reproduce its training data (reference success criteria:
+TRAINING_GUIDE.md:223-224 — "LLM acc >95%, flow recon <0.1").
+
+The TPU-budget variant (full convergence bars) is
+scripts/overfit_pipeline.py; this CPU test uses reduced budgets and
+correspondingly looser — but still discriminative — bars: every stage
+must demonstrably LEARN (vs. the measured random/untrained baselines:
+token_match ~1/4000, flow_nmse ~1.0, dac_snr ~-12 dB).
+"""
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+@pytest.mark.slow
+def test_overfit_learns_and_speaks(tmp_path):
+    import overfit_pipeline as ofp
+
+    metrics = ofp.run(tmp_path / "ofit", n_utts=2, seg_seconds=0.9,
+                      dac_iters=400, flow_epochs=150, llm_epochs=150)
+    print(json.dumps(metrics))
+
+    # stage 1 LM: learned the text->token mapping (reference bar is
+    # acc>0.95 at convergence; CPU budget reaches it on 2 utterances)
+    assert metrics["llm_train_acc"] >= 0.95
+    # and REPRODUCES the held-in continuation token-for-token through
+    # the real sampling decode (random baseline: ~1/4000 per token)
+    assert metrics["token_match"] >= 0.9
+    assert metrics["token_len_err"] <= 4
+
+    # codec: reconstruction clearly above the untrained baseline
+    # (measured -11.7 dB before any training)
+    assert metrics["dac_snr_db"] >= 3.0
+    assert metrics["dac_corr"] >= 0.5
+
+    # stage 2 flow: normalized latent reconstruction error well below
+    # the variance floor (untrained: ~1.0)
+    assert metrics["flow_nmse"] <= 0.5
+
+    # the synthesized waveform correlates with the oracle decode of the
+    # ground-truth latents — the system *speaks* its training data
+    assert metrics["wav_corr_oracle"] >= 0.5
+    assert metrics["syn_seconds"] > 0.5
