@@ -22,6 +22,16 @@ import numpy as np
 def build_dataset(args) -> np.ndarray:
     from minimax_speech_tpu.data.image_folder import (ImageFolder,
                                                       synthetic_images)
+    if args.tar_shards:
+        from minimax_speech_tpu.data.webdataset import WebDatasetShards
+        ds = WebDatasetShards(args.tar_shards, size=args.image_size,
+                              seed=args.seed)
+        imgs = []
+        for s in ds.samples(epoch=0):
+            imgs.append(s["image"])
+            if len(imgs) >= args.max_images:
+                break
+        return np.stack(imgs)
     if args.image_dir:
         ds = ImageFolder(args.image_dir, size=args.image_size,
                          max_images=args.max_images)
@@ -34,6 +44,9 @@ def main(argv=None):
     p.add_argument("--model", choices=("dito", "zdm"), default="dito")
     p.add_argument("--save_dir", required=True)
     p.add_argument("--image_dir", default=None)
+    p.add_argument("--tar_shards", default=None,
+                   help="webdataset-layout .tar shards: a dir of *.tar "
+                        "or a .json list (data/webdataset.py)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max_images", type=int, default=64)
     p.add_argument("--image_size", type=int, default=32)

@@ -147,3 +147,47 @@ def mel_distance(reference: np.ndarray, estimate: np.ndarray,
     x = jnp.asarray(np.asarray(reference[:n], np.float32))[None]
     y = jnp.asarray(np.asarray(estimate[:n], np.float32))[None]
     return float(audio_losses.mel_spectrogram_loss(x, y, sr))
+
+
+def pesq(reference: np.ndarray, estimate: np.ndarray, sr: int,
+         mode: str = "wb") -> float:
+    """ITU-T P.862 PESQ via the external `pesq` package when installed
+    (the reference gates identically on an import,
+    reference: audiotools/metrics/quality.py:64-102). The spec's
+    licensed filterbanks cannot be re-derived here; use stoi()/si_sdr()
+    for dependency-free quality numbers."""
+    try:
+        from pesq import pesq as pesq_fn
+    except ImportError as e:
+        raise ImportError(
+            "pesq() needs the external `pesq` package (pip install "
+            "pesq); offline alternatives: stoi(), si_sdr(), "
+            "mel_distance()") from e
+    tgt = 16000 if mode == "wb" else 8000
+    ref = _resample(np.asarray(reference, np.float32), sr, tgt)
+    est = _resample(np.asarray(estimate, np.float32), sr, tgt)
+    return float(pesq_fn(tgt, ref, est, mode))
+
+
+def visqol(reference: np.ndarray, estimate: np.ndarray, sr: int,
+           mode: str = "audio") -> float:
+    """ViSQOL via the external google binary/package when installed
+    (reference: audiotools/metrics/quality.py:105-155)."""
+    try:
+        from visqol import visqol_lib_py  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "visqol() needs the external `visqol` package; offline "
+            "alternatives: stoi(), si_sdr(), mel_distance()") from e
+    from visqol import visqol_lib_py as v
+    from visqol.pb2 import visqol_config_pb2
+    cfg = visqol_config_pb2.VisqolConfig()
+    tgt = 48000 if mode == "audio" else 16000
+    cfg.audio.sample_rate = tgt
+    cfg.options.use_speech_scoring = mode != "audio"
+    cfg.options.svr_model_path = v.FilePath.currentModelPath()
+    api = v.VisqolApi()
+    api.Create(cfg)
+    ref = _resample(np.asarray(reference, np.float64), sr, tgt)
+    est = _resample(np.asarray(estimate, np.float64), sr, tgt)
+    return float(api.Measure(ref, est).moslqo)

@@ -180,6 +180,9 @@ def _fft_convolve(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
 _rfft_jit = jax.jit(jnp.fft.rfft)
 _irfft_jit = jax.jit(lambda s, n: jnp.fft.irfft(s, n=n),
                      static_argnames=("n",))
+_angle_jit = jax.jit(lambda c: jnp.arctan2(jnp.imag(c), jnp.real(c)))
+_polar_jit = jax.jit(lambda mag, ph: (
+    mag * jnp.cos(ph) + 1j * (mag * jnp.sin(ph))).astype(jnp.complex64))
 
 
 def _hz_to_mel(f):
@@ -233,6 +236,9 @@ class AudioSignal:
         self.stft_params = stft_params or STFTParams()
         self._loudness = None
         self.stft_data = None
+        # file-level side info (e.g. whole-file "loudness" for
+        # GlobalVolumeNorm, reference: core/audio_signal.py metadata)
+        self.metadata: dict = {}
 
     # -- properties ------------------------------------------------------
     @property
@@ -255,6 +261,7 @@ class AudioSignal:
         s = AudioSignal(self.audio_data, self.sample_rate, self.stft_params)
         s._loudness = self._loudness
         s.stft_data = self.stft_data
+        s.metadata = dict(self.metadata)
         return s
 
     def _replace(self, audio) -> "AudioSignal":
@@ -294,6 +301,50 @@ class AudioSignal:
                       amin: float = 1e-5) -> jnp.ndarray:
         mag = self.magnitude()
         return 20.0 * jnp.log10(jnp.maximum(mag, amin) / ref_value)
+
+    def phase(self) -> jnp.ndarray:
+        if self.stft_data is None:
+            self.stft()
+        return _angle_jit(self.stft_data)
+
+    def set_mag_phase(self, mag, phase) -> "AudioSignal":
+        """Rebuild stft_data from magnitude+phase (the DSPMixin
+        magnitude/phase setters, reference: core/audio_signal.py)."""
+        self.stft_data = _polar_jit(mag, phase)
+        return self
+
+    # -- spectral masking (DSPMixin port; reference: core/dsp.py:217-380;
+    # like the reference these mutate stft_data — call .istft() after) --
+    def mask_frequencies(self, fmin_hz, fmax_hz,
+                         val: float = 0.0) -> "AudioSignal":
+        """Zero (or fill) a frequency band; SpecAug building block."""
+        mag, phase = self.magnitude(), self.phase()
+        f = np.linspace(0.0, self.sample_rate / 2, mag.shape[-2])
+        band = (jnp.asarray(f >= float(fmin_hz))
+                & jnp.asarray(f < float(fmax_hz)))[None, None, :, None]
+        return self.set_mag_phase(jnp.where(band, val, mag),
+                                  jnp.where(band, 0.0, phase))
+
+    def mask_timesteps(self, tmin_s, tmax_s,
+                       val: float = 0.0) -> "AudioSignal":
+        """Zero (or fill) a time span of STFT frames."""
+        mag, phase = self.magnitude(), self.phase()
+        t = np.linspace(0.0, self.signal_duration, mag.shape[-1])
+        span = (jnp.asarray(t >= float(tmin_s))
+                & jnp.asarray(t < float(tmax_s)))[None, None, None, :]
+        return self.set_mag_phase(jnp.where(span, val, mag),
+                                  jnp.where(span, 0.0, phase))
+
+    def mask_low_magnitudes(self, db_cutoff,
+                            val: float = 0.0) -> "AudioSignal":
+        mag = self.magnitude()
+        mask = self.log_magnitude() < jnp.asarray(db_cutoff)
+        return self.set_mag_phase(jnp.where(mask, val, mag), self.phase())
+
+    def shift_phase(self, shift) -> "AudioSignal":
+        """Add `shift` (scalar or per-bin array) to the STFT phase."""
+        return self.set_mag_phase(self.magnitude(),
+                                  self.phase() + jnp.asarray(shift))
 
     # -- loudness / gain -------------------------------------------------
     def loudness(self) -> np.ndarray:
@@ -470,3 +521,51 @@ class AudioSignal:
         from minimax_speech_tpu.data.pipeline import _load_audio
         audio, sr = _load_audio(path)
         return cls(audio, sr)
+
+
+def _tri_window(n: int) -> np.ndarray:
+    up = np.linspace(0, 1, n + 2)[1:-1]
+    return np.concatenate([up, [1.0], up[::-1]])
+
+
+@functools.partial(jax.jit, static_argnames=("n_freq", "n_time"))
+def _gate_mask(sig_db, nz_db, denoise_amount, n_std, n_freq, n_time):
+    # threshold from noise statistics over time, per frequency
+    thr = jnp.mean(nz_db, -1, keepdims=True) \
+        + n_std * jnp.std(nz_db, -1, keepdims=True)
+    mask = (sig_db < thr).astype(jnp.float32)      # (BC, F, T)
+    filt = np.outer(_tri_window(n_freq), _tri_window(n_time))
+    filt = jnp.asarray(filt / filt.sum(), jnp.float32)
+    sm = jax.lax.conv_general_dilated(
+        mask[:, None], filt[None, None],
+        window_strides=(1, 1),
+        padding=((n_freq, n_freq), (n_time, n_time)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    return 1.0 - sm * denoise_amount
+
+
+def spectral_gate(signal: AudioSignal, nz_signal: AudioSignal,
+                  denoise_amount: float = 1.0, n_std: float = 3.0,
+                  win_length: int = 2048, hop_length: int = 512,
+                  n_freq: int = 3, n_time: int = 5) -> AudioSignal:
+    """Spectral-gating denoiser (the Audacity/noisereduce algorithm;
+    reference: audiotools/ml/layers/spectral_gate.py): noise statistics
+    per frequency -> dB threshold -> smoothed time-frequency mask ->
+    inverted mask applied to the signal STFT."""
+    p = STFTParams(win_length, hop_length)
+    sig = AudioSignal(signal.audio_data, signal.sample_rate, p).stft()
+    nz = AudioSignal(nz_signal.audio_data, nz_signal.sample_rate, p).stft()
+    to_db = lambda s: 20.0 * jnp.log10(  # noqa: E731
+        jnp.maximum(jnp.abs(s), 1e-4))
+    bc = sig.stft_data.shape[0] * sig.stft_data.shape[1]
+    f, t = sig.stft_data.shape[2], sig.stft_data.shape[3]
+    nzd = jnp.broadcast_to(to_db(nz.stft_data).reshape(
+        -1, *nz.stft_data.shape[2:])[:1], (bc, nz.stft_data.shape[2],
+                                           nz.stft_data.shape[3]))
+    mask = _gate_mask(to_db(sig.stft_data).reshape(bc, f, t), nzd,
+                      float(np.mean(denoise_amount)), float(n_std),
+                      int(n_freq), int(n_time))
+    sig.stft_data = sig.stft_data * mask.reshape(sig.stft_data.shape)
+    out = sig.istft()
+    return AudioSignal(out.audio_data, signal.sample_rate,
+                       signal.stft_params)

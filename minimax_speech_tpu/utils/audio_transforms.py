@@ -391,6 +391,303 @@ class RoomImpulseResponse(BaseTransform):
                            signal.sample_rate, signal.stft_params)
 
 
+class SpectralTransform(BaseTransform):
+    """Base for STFT-domain transforms: stft before, istft after
+    (reference: transforms.py SpectralTransform)."""
+
+    def _spectral(self, key, signal: AudioSignal) -> AudioSignal:
+        return signal
+
+    def _transform(self, key, signal):
+        sig = signal.clone()
+        sig.stft_data = None
+        sig.stft()
+        return self._spectral(key, sig).istft()
+
+
+class Choose(Compose):
+    """Apply ONE of the transforms, chosen per item with optional
+    weights (reference: transforms.py Choose)."""
+
+    def __init__(self, *transforms: BaseTransform, weights=None,
+                 name: str = None, prob: float = 1.0):
+        super().__init__(*transforms, name=name, prob=prob)
+        n = len(self.transforms)
+        w = np.full(n, 1.0 / n) if weights is None else np.asarray(
+            weights, np.float64)
+        self.weights = w / w.sum()
+
+    def _transform(self, key, signal):
+        k_c, *keys = jax.random.split(key, len(self.transforms) + 1)
+        idx = jax.random.choice(k_c, len(self.transforms),
+                                (signal.batch_size,),
+                                p=jnp.asarray(self.weights))
+        outs = [t(k, signal.clone()).audio_data
+                for t, k in zip(self.transforms, keys)]
+        picked = jnp.stack(outs)[np.asarray(idx),
+                                 np.arange(signal.batch_size)]
+        return AudioSignal(picked, signal.sample_rate, signal.stft_params)
+
+
+class Repeat(Compose):
+    """Apply one transform n_repeat times (reference: Repeat)."""
+
+    def __init__(self, transform: BaseTransform, n_repeat: int = 1,
+                 name: str = None, prob: float = 1.0):
+        import copy
+        super().__init__(*[copy.copy(transform) for _ in range(n_repeat)],
+                         name=name, prob=prob)
+        self.n_repeat = n_repeat
+
+
+class RepeatUpTo(Choose):
+    """Repeat a transform a random 1..max_repeat-1 times
+    (reference: RepeatUpTo)."""
+
+    def __init__(self, transform: BaseTransform, max_repeat: int = 5,
+                 weights=None, name: str = None, prob: float = 1.0):
+        reps = [Repeat(transform, n_repeat=n, name=f"repeat_{n}")
+                for n in range(1, max_repeat)]
+        super().__init__(*reps, weights=weights, name=name, prob=prob)
+        self.max_repeat = max_repeat
+
+
+class NoiseFloor(BaseTransform):
+    """Add a gaussian noise floor at a target LUFS
+    (reference: transforms.py NoiseFloor)."""
+
+    def __init__(self, db: Tuple = ("const", -50.0), name: str = None,
+                 prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.db = db
+
+    def _transform(self, key, signal):
+        k_d, k_n = jax.random.split(key)
+        db = np.broadcast_to(_sample_dist(k_d, self.db,
+                                          signal.batch_size),
+                             (signal.batch_size,))
+        nz = AudioSignal(jax.random.normal(k_n, signal.audio_data.shape),
+                         signal.sample_rate).normalize_per_item(db)
+        return AudioSignal(signal.audio_data + nz.audio_data,
+                           signal.sample_rate, signal.stft_params)
+
+
+class CrossTalk(BaseTransform):
+    """Mix a second speaker at a drawn SNR, then restore the original
+    loudness (reference: transforms.py CrossTalk). `sources` is a bank
+    of speech clips (N, T); default is seeded speech-shaped noise."""
+
+    def __init__(self, snr: Tuple = ("uniform", 0.0, 10.0),
+                 sources: np.ndarray = None, name: str = None,
+                 prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.snr = snr
+        self.sources = sources
+
+    def _talker(self, key, signal):
+        if self.sources is not None:
+            i = int(jax.random.randint(key, (), 0, len(self.sources)))
+            clip = np.asarray(self.sources[i], np.float32)
+            reps = int(np.ceil(signal.signal_length / len(clip)))
+            clip = np.tile(clip, reps)[: signal.signal_length]
+            return jnp.broadcast_to(
+                jnp.asarray(clip)[None, None, :],
+                (signal.batch_size, 1, signal.signal_length))
+        # speech-shaped: white noise through a gentle low-pass tilt
+        white = jax.random.normal(
+            key, (signal.batch_size, 1, signal.signal_length))
+        spec = jnp.fft.rfft(white)
+        f = np.fft.rfftfreq(signal.signal_length,
+                            1.0 / signal.sample_rate)
+        tilt = 1.0 / np.sqrt(1.0 + (f / 500.0) ** 2)
+        return jnp.fft.irfft(spec * jnp.asarray(tilt),
+                             n=signal.signal_length).astype(jnp.float32)
+
+    def _transform(self, key, signal):
+        k_t, k_s = jax.random.split(key)
+        snr = _sample_dist(k_s, self.snr, signal.batch_size)
+        talker = AudioSignal(self._talker(k_t, signal),
+                             signal.sample_rate)
+        loud = signal.loudness()
+        mix = signal.clone().mix(talker, snr)
+        return mix.normalize_per_item(loud)
+
+
+class GlobalVolumeNorm(BaseTransform):
+    """VolumeNorm against the WHOLE source file's loudness, carried in
+    signal.metadata['loudness'] (reference: GlobalVolumeNorm)."""
+
+    def __init__(self, db: Tuple = ("const", -24), name: str = None,
+                 prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.db = db
+
+    def _transform(self, key, signal):
+        src = signal.metadata.get("loudness")
+        if src is None or not np.isfinite(float(src)):
+            return signal
+        db = float(np.mean(_sample_dist(key, self.db, 1)))
+        return signal.volume_change(db - float(src))
+
+
+class Silence(BaseTransform):
+    """Zero out the signal (reference: Silence; default prob 0.1)."""
+
+    def __init__(self, name: str = None, prob: float = 0.1):
+        super().__init__(name=name, prob=prob)
+
+    def _transform(self, key, signal):
+        return AudioSignal(jnp.zeros_like(signal.audio_data),
+                           signal.sample_rate, signal.stft_params)
+
+
+class InvertPhase(ShiftPhase):
+    """Constant pi phase shift (reference: InvertPhase)."""
+
+    def __init__(self, name: str = None, prob: float = 1.0):
+        super().__init__(shift=("const", np.pi, np.pi), name=name,
+                         prob=prob)
+
+    def _transform(self, key, signal):
+        return AudioSignal(-signal.audio_data, signal.sample_rate,
+                           signal.stft_params)
+
+
+class CorruptPhase(SpectralTransform):
+    """Add gaussian noise to the STFT phase at a drawn scale
+    (reference: CorruptPhase + dsp.corrupt_phase)."""
+
+    def __init__(self, scale: Tuple = ("uniform", 0, np.pi),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.scale = scale
+
+    def _spectral(self, key, signal):
+        k_s, k_n = jax.random.split(key)
+        scale = float(np.mean(_sample_dist(k_s, self.scale, 1)))
+        noise = scale * jax.random.normal(k_n, signal.phase().shape)
+        return signal.shift_phase(noise)
+
+
+class FrequencyMask(SpectralTransform):
+    """SpecAug frequency-band mask (reference: FrequencyMask)."""
+
+    def __init__(self, f_center: Tuple = ("uniform", 0.0, 1.0),
+                 f_width: Tuple = ("const", 0.1), name: str = None,
+                 prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.f_center = f_center
+        self.f_width = f_width
+
+    def _band_hz(self, key, signal):
+        k_c, k_w = jax.random.split(key)
+        c = float(np.mean(_sample_dist(k_c, self.f_center, 1)))
+        w = float(np.mean(_sample_dist(k_w, self.f_width, 1)))
+        nyq = signal.sample_rate / 2
+        return max(c - w / 2, 0.0) * nyq, min(c + w / 2, 1.0) * nyq
+
+    def _spectral(self, key, signal):
+        fmin, fmax = self._band_hz(key, signal)
+        return signal.mask_frequencies(fmin, fmax)
+
+
+class TimeMask(SpectralTransform):
+    """SpecAug time-span mask (reference: TimeMask)."""
+
+    def __init__(self, t_center: Tuple = ("uniform", 0.0, 1.0),
+                 t_width: Tuple = ("const", 0.025), name: str = None,
+                 prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.t_center = t_center
+        self.t_width = t_width
+
+    def _span_s(self, key, signal):
+        k_c, k_w = jax.random.split(key)
+        c = float(np.mean(_sample_dist(k_c, self.t_center, 1)))
+        w = float(np.mean(_sample_dist(k_w, self.t_width, 1)))
+        dur = signal.signal_duration
+        return max(c - w / 2, 0.0) * dur, min(c + w / 2, 1.0) * dur
+
+    def _spectral(self, key, signal):
+        tmin, tmax = self._span_s(key, signal)
+        return signal.mask_timesteps(tmin, tmax)
+
+
+class MaskLowMagnitudes(SpectralTransform):
+    """Zero STFT bins under a drawn dB cutoff
+    (reference: MaskLowMagnitudes)."""
+
+    def __init__(self, db_cutoff: Tuple = ("uniform", -10, 10),
+                 name: str = None, prob: float = 1.0):
+        super().__init__(name=name, prob=prob)
+        self.db_cutoff = db_cutoff
+
+    def _spectral(self, key, signal):
+        db = float(np.mean(_sample_dist(key, self.db_cutoff, 1)))
+        return signal.mask_low_magnitudes(db)
+
+
+class TimeNoise(TimeMask):
+    """TimeMask, but masked frames get noise instead of zeros
+    (reference: TimeNoise)."""
+
+    def _spectral(self, key, signal):
+        k_m, k_a, k_p = jax.random.split(key, 3)
+        tmin, tmax = self._span_s(k_m, signal)
+        signal = signal.mask_timesteps(tmin, tmax, val=0.0)
+        mag, phase = signal.magnitude(), signal.phase()
+        hole = (mag == 0.0) & (phase == 0.0)
+        mag = jnp.where(hole, jax.random.normal(k_a, mag.shape), mag)
+        phase = jnp.where(hole, jax.random.normal(k_p, phase.shape),
+                          phase)
+        return signal.set_mag_phase(mag, phase)
+
+
+class FrequencyNoise(FrequencyMask):
+    """FrequencyMask, but masked bands get noise instead of zeros
+    (reference: FrequencyNoise)."""
+
+    def _spectral(self, key, signal):
+        k_m, k_a, k_p = jax.random.split(key, 3)
+        fmin, fmax = self._band_hz(k_m, signal)
+        signal = signal.mask_frequencies(fmin, fmax, val=0.0)
+        mag, phase = signal.magnitude(), signal.phase()
+        hole = (mag == 0.0) & (phase == 0.0)
+        mag = jnp.where(hole, jax.random.normal(k_a, mag.shape), mag)
+        phase = jnp.where(hole, jax.random.normal(k_p, phase.shape),
+                          phase)
+        return signal.set_mag_phase(mag, phase)
+
+
+class SpectralDenoising(Equalizer):
+    """Spectral-gate denoising against a random EQ'd noise signal
+    (reference: SpectralDenoising + ml/layers/spectral_gate.py)."""
+
+    def __init__(self, eq_amount: Tuple = ("const", 1.0),
+                 denoise_amount: Tuple = ("uniform", 0.8, 1.0),
+                 nz_volume: float = -40, n_bands: int = 6,
+                 n_freq: int = 3, n_time: int = 5, name: str = None,
+                 prob: float = 1.0):
+        super().__init__(eq_amount=eq_amount, n_bands=n_bands,
+                         name=name, prob=prob)
+        self.nz_volume = nz_volume
+        self.denoise_amount = denoise_amount
+        self.n_freq, self.n_time = n_freq, n_time
+
+    def _transform(self, key, signal):
+        from minimax_speech_tpu.utils.audio_signal import spectral_gate
+        k_n, k_a, k_e, k_d = jax.random.split(key, 4)
+        amount = _sample_dist(k_a, self.eq_amount, 1)
+        eq = -np.asarray(amount).reshape(-1, 1) * np.asarray(
+            jax.random.uniform(k_e, (1, self.n_bands)))
+        nz = AudioSignal(jax.random.normal(k_n, (1, 1, 22050)),
+                         signal.sample_rate)
+        nz = nz.normalize(self.nz_volume).equalizer(eq)
+        amt = float(np.mean(_sample_dist(k_d, self.denoise_amount, 1)))
+        return spectral_gate(signal, nz, amt, n_freq=self.n_freq,
+                             n_time=self.n_time)
+
+
 def build_transform(augment_prob: float = 1.0,
                     preprocess: Sequence[str] = ("Identity",),
                     augment: Sequence[str] = ("Identity",),
