@@ -30,6 +30,14 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
     if path is None and _enabled_path is not None:
         # a default call never overrides an explicitly chosen location
         return _enabled_path
+    import jax
+    if path is None and env is None \
+            and "cpu" in str(jax.config.jax_platforms or ""):
+        # default-enable only off-CPU: CPU compiles are cheap, and a
+        # CPU AOT executable cached under one machine-feature set can
+        # SIGILL on another host (cpu_aot_loader warns exactly this);
+        # the cache exists for the TPU cold-start problem
+        return None
     p = os.path.expanduser(path or env or _DEFAULT)
     if _enabled_path == p:
         return p

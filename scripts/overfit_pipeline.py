@@ -307,6 +307,26 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     token_match = float((gen[:m] == expect[:m]).mean()) if m else 0.0
     token_len_err = abs(int(count[0]) - len(expect))
 
+    # (a2) W8A8 decode on the TRAINED weights: the quality side of the
+    # int8 speed/quality tradeoff, measured on a model that has
+    # actually learned (bench.py's speed numbers are random-weight)
+    import dataclasses
+
+    from minimax_speech_tpu.models import qwen2
+    qlm = llm_mod.SpeechLM(dataclasses.replace(
+        cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True)))
+    qvars = dict(p.lm_vars)
+    qvars["params"] = qwen2.quantize_lm_params(p.lm_vars["params"])
+    out_q, count_q = llm_mod.generate(
+        qlm, qvars, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), lm_spk, jax.random.PRNGKey(0),
+        jnp.array([2]), jnp.array([n - k + 8]),
+        max_steps=cfg.max_speech_tokens)
+    gen_q = np.asarray(out_q)[0, : int(count_q[0])]
+    mq = min(len(gen_q), len(expect))
+    token_match_w8a8 = float((gen_q[:mq] == expect[:mq]).mean()) \
+        if mq else 0.0
+
     # (b) flow reconstruction from ground-truth tokens (reference bar:
     # TRAINING_GUIDE.md:224 "flow recon <0.1")
     tl = n
@@ -349,6 +369,7 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     dac_corr = _xcorr_peak(rec, wav_full, max_lag=480)
 
     return {"token_match": token_match, "token_len_err": token_len_err,
+            "token_match_w8a8": token_match_w8a8,
             "gen_len": int(count[0]), "expect_len": len(expect),
             "flow_mse": flow_mse, "flow_nmse": flow_nmse,
             "wav_corr_oracle": wav_corr_oracle, "wav_corr_gt": wav_corr_gt,
@@ -369,12 +390,13 @@ def main(argv=None):
                     help="force a jax platform (e.g. cpu); needed because "
                          "sitecustomize ignores JAX_PLATFORMS")
     args = ap.parse_args(argv)
-    from minimax_speech_tpu.utils.compile_cache import \
-        enable_persistent_compile_cache
-    enable_persistent_compile_cache()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # after the platform choice: the cache default-enables off-CPU only
+    from minimax_speech_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     wd = Path(args.workdir)
     if args.fresh and wd.exists():
         shutil.rmtree(wd)
