@@ -5,7 +5,14 @@
 set -u
 WD=${1:?workdir}
 TO=${2:-1500}
+tunnel_up() { timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8083' 2>/dev/null; }
 for attempt in $(seq 1 12); do
+  # don't burn an attempt while the axon relay is down; an attempt
+  # launched against a dead tunnel hangs for its whole timeout
+  until tunnel_up; do
+    echo "[supervise] tunnel down; waiting 60s" >&2
+    sleep 60
+  done
   echo "[supervise] attempt $attempt" >&2
   out=$(timeout "$TO" bash "$(dirname "$0")/tpu_run.sh" "$(dirname "$0")/overfit_pipeline.py" --workdir "$WD")
   code=$?
