@@ -92,9 +92,9 @@ class BatchStreamingSession:
             logp = jnp.where((ids[None] == eos) & ~allow[:, None],
                              -jnp.inf, logp)
             keys = jax.random.split(k1, b)
-            toks = jax.vmap(lambda kk, lp, rc: sampling_ops.ras_sample(
-                kk, lp, rc, cfg.lm.top_p, cfg.lm.top_k, cfg.lm.ras_win,
-                cfg.lm.ras_tau))(keys, logp, recent).astype(jnp.int32)
+            toks = sampling_ops.ras_sample_batch(
+                keys, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
+                cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
             now_eos = (toks == eos) | (counts >= max_len)
             done = done | now_eos
             emit = ~done

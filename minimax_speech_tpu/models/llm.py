@@ -372,9 +372,9 @@ def generate(model: SpeechLM, variables, src_type, tok_id, prompt_len,
         logp = jnp.where((ids[None] == eos) & ~allow_eos[:, None],
                          -jnp.inf, logp)
         keys = jax.random.split(key, b)
-        toks = jax.vmap(lambda kk, lp, rc: sampling_ops.ras_sample(
-            kk, lp, rc, cfg.top_p, cfg.top_k, cfg.ras_win, cfg.ras_tau))(
-            keys, logp, recent)
+        toks = sampling_ops.ras_sample_batch(
+            keys, logp, recent, cfg.top_p, cfg.top_k, cfg.ras_win,
+            cfg.ras_tau)
         return toks.astype(jnp.int32)
 
     def cond(carry):

@@ -52,12 +52,48 @@ def ras_sample(key: jax.Array, logp: jnp.ndarray, recent_tokens: jnp.ndarray,
 
     recent_tokens: (win_size,) int32 ring buffer of the last decoded ids,
     -1 on empty slots.
+
+    The full-distribution fallback draw (a V-sized gumbel, the most
+    RNG-expensive op in a decode step) runs under lax.cond, so the
+    common no-repetition step skips it entirely. Outputs are
+    bit-identical to the unconditional form: the key split is
+    unconditional, so the fallback — when taken — uses the same draw.
+    (Under vmap, cond lowers to select and both branches run, matching
+    the old cost; batched decode loops should use ras_sample_batch.)
     """
     k1, k2 = jax.random.split(key)
     top_ids = nucleus_sample(k1, logp, top_p=top_p, top_k=top_k)
     rep_num = jnp.sum(recent_tokens == top_ids)
-    fallback = random_sample(k2, logp)
-    return jnp.where(rep_num >= win_size * tau_r, fallback, top_ids)
+    need = rep_num >= win_size * tau_r
+    fallback = jax.lax.cond(need, lambda: random_sample(k2, logp),
+                            lambda: top_ids)
+    return jnp.where(need, fallback, top_ids)
+
+
+@partial(jax.jit, static_argnames=("top_p", "top_k", "win_size", "tau_r"))
+def ras_sample_batch(keys: jax.Array, logp: jnp.ndarray,
+                     recent_tokens: jnp.ndarray, top_p: float = 0.8,
+                     top_k: int = 25, win_size: int = 10,
+                     tau_r: float = 0.1) -> jnp.ndarray:
+    """Batched ras_sample with the expensive fallback cond'd at the
+    BATCH level (a vmapped lax.cond lowers to select and loses the
+    skip, so the any-row test must sit outside the vmap).
+
+    keys: (B,) per-row PRNG keys; logp: (B, V); recent_tokens: (B, W).
+    Bit-identical to `jax.vmap(ras_sample)(keys, logp, recent_tokens)`.
+    """
+    split = jax.vmap(jax.random.split)(keys)          # (B, 2, key)
+    k1, k2 = split[:, 0], split[:, 1]
+    top_ids = jax.vmap(
+        lambda kk, lp: nucleus_sample(kk, lp, top_p=top_p, top_k=top_k)
+    )(k1, logp)
+    rep_num = jnp.sum(recent_tokens == top_ids[:, None], axis=1)
+    need = rep_num >= win_size * tau_r
+    fallback = jax.lax.cond(
+        jnp.any(need),
+        lambda: jax.vmap(random_sample)(k2, logp),
+        lambda: top_ids)
+    return jnp.where(need, fallback, top_ids)
 
 
 def push_recent(recent_tokens: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:

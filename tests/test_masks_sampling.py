@@ -63,3 +63,31 @@ def test_interpolate_linear_matches_torch():
         torch.from_numpy(x), size=20, mode="linear").numpy()
     ours = np.asarray(interpolate.interpolate_linear(jnp.asarray(x), 20))
     np.testing.assert_allclose(ours, golden, atol=1e-6)
+
+
+def test_ras_sample_batch_matches_vmapped_scalar():
+    """ras_sample_batch (batch-level lax.cond around the expensive
+    full-vocab fallback) must be BIT-IDENTICAL to vmapping ras_sample,
+    on batches where no row, some rows, and all rows need the
+    repetition fallback."""
+    rng = np.random.default_rng(3)
+    v, w, b = 64, 10, 4
+    logits = jnp.asarray(rng.standard_normal((b, v)).astype(np.float32))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    top0 = np.asarray(jnp.argmax(logp, axis=-1))
+    cases = {
+        "none": np.full((b, w), -1, np.int32),
+        "some": np.stack([np.full(w, top0[0], np.int32)]
+                         + [np.full(w, -1, np.int32)] * (b - 1)),
+        "all": np.stack([np.full(w, t, np.int32) for t in top0]),
+    }
+    for name, recent in cases.items():
+        keys = jax.random.split(jax.random.PRNGKey(11), b)
+        golden = jax.vmap(lambda kk, lp, rc: sampling.ras_sample(
+            kk, lp, rc, 0.8, 25, w, 0.1))(keys, logp,
+                                           jnp.asarray(recent))
+        ours = sampling.ras_sample_batch(keys, logp, jnp.asarray(recent),
+                                         0.8, 25, w, 0.1)
+        np.testing.assert_array_equal(np.asarray(ours),
+                                      np.asarray(golden), err_msg=name)
