@@ -12,6 +12,7 @@ must demonstrably LEARN (vs. the measured random/untrained baselines:
 token_match ~1/4000, flow_nmse ~1.0, dac_snr ~-12 dB).
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -22,6 +23,11 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MSTPU_E2E"),
+    reason="multi-hour CPU overfit; opt in with MSTPU_E2E=1 (the TPU "
+           "proof runs via scripts/overfit_supervised.sh — metrics in "
+           "STATUS.md)")
 def test_overfit_learns_and_speaks(tmp_path):
     import overfit_pipeline as ofp
 
