@@ -66,20 +66,22 @@ def sample_paths(meta: dict, out_dir: Path) -> tuple[Path, Path]:
     return wav, wav.with_suffix(".txt")
 
 
-def write_sample(sample: dict, out_dir: Path) -> tuple[str, bool]:
-    """One dataset record -> (id, written). Skips existing pairs."""
+def write_sample(sample: dict, out_dir: Path) -> tuple[str, bool, Path]:
+    """One dataset record -> (id, written, wav_path). Skips existing
+    pairs. Returns the path it actually used, so callers never
+    re-derive it from a different metadata fallback."""
     meta = sample.get("json") or {
         "id": sample.get("id", "sample"),
         "text": sample.get("text", ""),
         "wav": sample.get("wav")}
     wav_path, txt_path = sample_paths(meta, out_dir)
     if wav_path.exists() and txt_path.exists():
-        return str(meta["id"]), False
+        return str(meta["id"]), False, wav_path
     audio, sr = _decode(sample)
     txt_path.parent.mkdir(parents=True, exist_ok=True)
     txt_path.write_text(meta.get("text", ""))
     _write_wav(wav_path, audio, sr)
-    return str(meta["id"]), True
+    return str(meta["id"]), True, wav_path
 
 
 def main(argv=None):
@@ -110,9 +112,8 @@ def main(argv=None):
         if args.max_samples is not None and i >= args.max_samples:
             break
         try:
-            sid, fresh = write_sample(sample, out_dir)
-            meta = sample.get("json") or {"id": sid}
-            paths.append(str(sample_paths(meta, out_dir)[0]))
+            sid, fresh, wav_path = write_sample(sample, out_dir)
+            paths.append(str(wav_path))
             written += fresh
             skipped += not fresh
         except Exception as e:  # noqa: BLE001 — skip-and-log convention

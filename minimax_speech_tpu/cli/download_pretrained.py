@@ -41,22 +41,28 @@ def fetch(url: str, dest: Path, chunk: int = 1 << 20,
     req = urllib.request.Request(url)
     if have:
         req.add_header("Range", f"bytes={have}-")
-    mode = "ab" if have else "wb"
     try:
-        with urllib.request.urlopen(req, timeout=60) as r, \
-                open(tmp, mode) as f:
-            total = have + int(r.headers.get("Content-Length") or 0)
-            done = have
-            while True:
-                buf = r.read(chunk)
-                if not buf:
-                    break
-                f.write(buf)
-                done += len(buf)
-                if progress and total:
-                    pct = 100.0 * done / total
-                    print(f"\r  {dest.name}: {pct:5.1f}%", end="",
-                          file=sys.stderr)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            # resume only on an explicit 206 Partial Content; a server
+            # that ignores Range (file://, some CDNs) returns the FULL
+            # body, and appending it after the stale prefix would
+            # silently corrupt the artifact
+            partial = have and getattr(r, "status", None) == 206
+            if have and not partial:
+                have = 0
+            with open(tmp, "ab" if partial else "wb") as f:
+                total = have + int(r.headers.get("Content-Length") or 0)
+                done = have
+                while True:
+                    buf = r.read(chunk)
+                    if not buf:
+                        break
+                    f.write(buf)
+                    done += len(buf)
+                    if progress and total:
+                        pct = 100.0 * done / total
+                        print(f"\r  {dest.name}: {pct:5.1f}%", end="",
+                              file=sys.stderr)
     except urllib.error.HTTPError as e:
         if e.code == 416 and tmp.exists():  # already complete
             pass
@@ -123,7 +129,10 @@ def main(argv=None):
                    help="convert fetched torch/onnx artifacts to .npz")
     p.add_argument("--config", default="configs/default.yaml",
                    help="model geometry for the torch->npz conversion")
-    p.add_argument("--skip_existing", action="store_true", default=True)
+    p.add_argument("--skip_existing", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-skip_existing forces a re-fetch of files "
+                        "already in the manifest")
     args = p.parse_args(argv)
 
     model_dir = Path(args.model_dir)

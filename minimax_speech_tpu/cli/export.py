@@ -9,7 +9,7 @@ This warms every static-shape bucket so first-request latency in serving
 equals steady-state latency.
 
   python -m minimax_speech_tpu.cli.export --config configs/default.yaml \
-      --cache_dir ./xla_cache [--random_init | --ckpt_dir DIR] \
+      [--cache_dir DIR] [--random_init | --ckpt_dir DIR] \
       [--buckets 64,128,256]
 """
 from __future__ import annotations
@@ -25,7 +25,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/default.yaml")
     p.add_argument("--override", action="append", default=[])
-    p.add_argument("--cache_dir", default="./xla_cache")
+    p.add_argument("--cache_dir", default=None,
+                   help="executable cache location; defaults to the "
+                        "SAME dir TTSPipeline/serve read "
+                        "(~/.cache/minimax_speech_tpu/xla), so an "
+                        "export warms later serving starts")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--buckets", default="64,128,256")
@@ -43,7 +47,8 @@ def main(argv=None):
     # persistent compilation cache: the serialized-executable store
     from minimax_speech_tpu.utils.compile_cache import \
         enable_persistent_compile_cache
-    enable_persistent_compile_cache(str(Path(args.cache_dir).absolute()))
+    cache_dir = enable_persistent_compile_cache(
+        str(Path(args.cache_dir).absolute()) if args.cache_dir else None)
 
     import jax.numpy as jnp
 
@@ -99,7 +104,7 @@ def main(argv=None):
         tts = TTS(pipeline=pipe, tokenizer_path=args.tokenizer_path)
         warm_serving(tts, scheduler="window")
         warm_serving(tts, scheduler="continuous", streaming=False)
-    print(f"export done; executables cached in {args.cache_dir}")
+    print(f"export done; executables cached in {cache_dir}")
 
 
 if __name__ == "__main__":

@@ -89,8 +89,14 @@ def run_elastic(module: str, worker_args: list[str], nproc: int,
     logd = Path(log_dir)
     logd.mkdir(parents=True, exist_ok=True)
     procs: list[subprocess.Popen] = []
+    stopping = False
 
     def forward(signum, _frame):
+        # a preemption notice / Ctrl-C means SHUT DOWN, not "restart the
+        # gang": workers checkpoint and exit nonzero, which must not be
+        # classified as a rank failure
+        nonlocal stopping
+        stopping = True
         for p in procs:
             if p.poll() is None:
                 p.send_signal(signum)
@@ -118,6 +124,11 @@ def run_elastic(module: str, worker_args: list[str], nproc: int,
                 if all(c == 0 for c in codes):
                     return 0
                 time.sleep(poll_s)
+            if stopping:
+                reap(procs)
+                print("[launch] shutdown requested; not restarting",
+                      file=sys.stderr)
+                return 0
             reap(procs)
             for i in failed:
                 tail = Path(procs[i]._log_path).read_text()[-2000:]

@@ -46,6 +46,14 @@ class BatchSynthesizer:
                          return_timings: bool = False):
         """Run B requests in one batched decode. Returns list of wavs."""
         cfg = self.p.cfg
+        n_real = len(requests)
+        # pad the batch dim to a power-of-two bucket: warm_serving
+        # compiles {1,2,4,...,max_batch}, so an arbitrary arrival count
+        # (e.g. 3 requests in one window) reuses a warmed executable
+        # instead of cold-compiling a new batch shape mid-request
+        requests = list(requests)
+        while len(requests) & (len(requests) - 1):
+            requests.append(requests[-1])
         b = len(requests)
         key = key if key is not None else jax.random.PRNGKey(0)
         t0 = time.perf_counter()
@@ -106,7 +114,7 @@ class BatchSynthesizer:
         # prompt-feature offset before the transfer, so row i starts at
         # request i's generated region already
         wavs = []
-        for i in range(b):
+        for i in range(n_real):
             n = int(count[i]) * cfg.token_latent_ratio * 480
             wavs.append(pcm[i, :n].astype(np.float32) / 32767.0)
         t3 = time.perf_counter()
@@ -117,5 +125,5 @@ class BatchSynthesizer:
             audio_s = sum(len(w) for w in wavs) / cfg.sample_rate
             return wavs, {"e2e_s": t1 - t0, "host_s": t3 - t1,
                           "total_s": t3 - t0, "audio_s": audio_s,
-                          "tokens": [int(c) for c in count]}
+                          "tokens": [int(c) for c in count[:n_real]]}
         return wavs

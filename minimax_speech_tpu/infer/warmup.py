@@ -33,13 +33,23 @@ def warm_serving(tts, scheduler: str = "window", max_batch: int = 8,
                  text: str = "warm up the serving programs.",
                  verbose: bool = True) -> dict:
     """Compile the programs `cli.serve` will run. Returns phase timings."""
-    import jax
-
-    from minimax_speech_tpu.infer.serving import BatchSynthesizer, Request
-
     timings = {}
     spk = _dummy_speaker(tts)
     info = tts.spk2info[spk]
+    try:
+        return _warm(tts, scheduler, max_batch, slots, streaming, text,
+                     verbose, timings, spk, info)
+    finally:
+        # never leave the dummy speaker registered (a failed warmup
+        # would otherwise advertise '__warm__' via list_available_spks)
+        tts.spk2info.pop(spk, None)
+
+
+def _warm(tts, scheduler, max_batch, slots, streaming, text, verbose,
+          timings, spk, info):
+    import jax
+
+    from minimax_speech_tpu.infer.serving import BatchSynthesizer, Request
 
     def req():
         toks = tts.frontend.extract_text_tokens(
@@ -76,7 +86,15 @@ def warm_serving(tts, scheduler: str = "window", max_batch: int = 8,
         timings["continuous_s"] = time.perf_counter() - t0
     else:
         synth = BatchSynthesizer(tts.pipeline)
-        for b in sorted({1, max_batch}):
+        # every power-of-two batch bucket up to max_batch: arrival
+        # counts pad up to these shapes, so this set IS the serving
+        # compile set
+        sizes, s = [], 1
+        while s < max_batch:
+            sizes.append(s)
+            s *= 2
+        sizes.append(s)  # the pow2 >= max_batch (batches pad up to it)
+        for b in sorted(set(sizes)):
             t0 = time.perf_counter()
             synth.synthesize_batch([req() for _ in range(b)],
                                    key=jax.random.PRNGKey(0))
@@ -90,7 +108,6 @@ def warm_serving(tts, scheduler: str = "window", max_batch: int = 8,
             pass
         timings["streaming_s"] = time.perf_counter() - t0
 
-    del tts.spk2info[spk]
     if verbose:
         total = sum(timings.values())
         print(f"[warmup] {total:.1f}s total: " + ", ".join(

@@ -419,14 +419,20 @@ class Choose(Compose):
 
     def _transform(self, key, signal):
         k_c, *keys = jax.random.split(key, len(self.transforms) + 1)
-        idx = jax.random.choice(k_c, len(self.transforms),
-                                (signal.batch_size,),
-                                p=jnp.asarray(self.weights))
-        outs = [t(k, signal.clone()).audio_data
-                for t, k in zip(self.transforms, keys)]
-        picked = jnp.stack(outs)[np.asarray(idx),
-                                 np.arange(signal.batch_size)]
-        return AudioSignal(picked, signal.sample_rate, signal.stft_params)
+        idx = np.asarray(jax.random.choice(
+            k_c, len(self.transforms), (signal.batch_size,),
+            p=jnp.asarray(self.weights)))
+        # run each CHOSEN transform once on just its items (host-side
+        # gather/scatter) instead of every transform on the full batch
+        out = np.asarray(signal.audio_data).copy()
+        for t_i, (t, k) in enumerate(zip(self.transforms, keys)):
+            rows = np.nonzero(idx == t_i)[0]
+            if rows.size == 0:
+                continue
+            sub = AudioSignal(out[rows], signal.sample_rate,
+                              signal.stft_params)
+            out[rows] = np.asarray(t(k, sub).audio_data)
+        return AudioSignal(out, signal.sample_rate, signal.stft_params)
 
 
 class Repeat(Compose):

@@ -31,13 +31,21 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
         # a default call never overrides an explicitly chosen location
         return _enabled_path
     import jax
-    if path is None and env is None \
-            and "cpu" in str(jax.config.jax_platforms or ""):
+    if path is None and env is None:
         # default-enable only off-CPU: CPU compiles are cheap, and a
         # CPU AOT executable cached under one machine-feature set can
         # SIGILL on another host (cpu_aot_loader warns exactly this);
-        # the cache exists for the TPU cold-start problem
-        return None
+        # the cache exists for the TPU cold-start problem. jax_platforms
+        # is None on plain CPU-only installs, so resolve the actual
+        # backend when it is unset.
+        platforms = str(jax.config.jax_platforms or "")
+        if not platforms:
+            try:
+                platforms = jax.default_backend()
+            except Exception:
+                return None  # no backend resolvable -> play safe
+        if "cpu" in platforms:
+            return None
     p = os.path.expanduser(path or env or _DEFAULT)
     if _enabled_path == p:
         return p

@@ -42,9 +42,10 @@ def test_download_pretrained_fetch_manifest_skip(tmp_path):
 
 
 def test_download_pretrained_resume(tmp_path):
-    """A leftover .part file is treated as a partial download: the
-    fetch resumes (file:// ignores Range, so it must still converge to
-    correct bytes via restart-from-scratch semantics or full read)."""
+    """A leftover .part file only resumes on an explicit 206; a server
+    that ignores Range (file:// always does) returns the full body and
+    the fetch must restart from scratch instead of appending it after
+    the stale prefix."""
     src = _mirror(tmp_path)
     out = tmp_path / "model"
     out.mkdir()
@@ -53,9 +54,10 @@ def test_download_pretrained_resume(tmp_path):
     digest = dp.fetch((src / "llm.pt").as_uri(), out / "llm.pt",
                       progress=False)
     got = (out / "llm.pt").read_bytes()
-    # file:// has no Range support: urllib returns the whole file, so
-    # the result must end with the true content and hash consistently
-    assert got.endswith(b"fake-llm-bytes")
+    # file:// has no Range support (no 206): the fetch must detect the
+    # ignored Range and restart from scratch — the stale prefix must
+    # NOT survive in front of the true content
+    assert got == b"fake-llm-bytes" * 100
     assert digest == hashlib.sha256(got).hexdigest()
 
 
@@ -73,8 +75,9 @@ def _sample(i, sr=16000, with_json=True):
 
 def test_write_sample_layout_and_skip(tmp_path):
     out = tmp_path / "corpus"
-    sid, fresh = dd.write_sample(_sample(0), out)
+    sid, fresh, wav_path = dd.write_sample(_sample(0), out)
     assert sid == "utt0" and fresh
+    assert wav_path == out / "EN/utt0.wav"
     # reference layout: /mp3 dropped, .mp3 -> .wav
     wav = out / "EN/utt0.wav"
     txt = out / "EN/utt0.txt"
@@ -83,15 +86,19 @@ def test_write_sample_layout_and_skip(tmp_path):
         assert w.getframerate() == 16000
         assert w.getnframes() == 4000
     # resumable: second call skips
-    sid, fresh = dd.write_sample(_sample(0), out)
+    sid, fresh, _ = dd.write_sample(_sample(0), out)
     assert not fresh
 
 
 def test_write_sample_without_json_meta(tmp_path):
     out = tmp_path / "corpus"
-    sid, fresh = dd.write_sample(_sample(3, with_json=False), out)
+    sid, fresh, wav_path = dd.write_sample(_sample(3, with_json=False),
+                                           out)
     assert sid == "utt3" and fresh
     assert (out / "utt3.wav").exists()
+    # the returned path must be the one actually written (the flat-meta
+    # fallback previously diverged between write and list)
+    assert wav_path == out / "utt3.wav"
 
 
 def test_decode_raw_flac_bytes(tmp_path):
