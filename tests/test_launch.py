@@ -103,3 +103,50 @@ def test_launch_restarts_preempted_gang(tmp_path, rng):
         if launcher.poll() is None:
             launcher.kill()
             launcher.wait()
+
+
+def _launcher(tmp_path, extra, worker):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    return subprocess.Popen(
+        [sys.executable, "-m", "minimax_speech_tpu.cli.launch",
+         "--nproc", "2", "--module", "tests.elastic_stub",
+         "--log_dir", str(tmp_path / "logs"),
+         "--state_file", str(tmp_path / "gang.json"), *extra,
+         "--", *worker],
+        env=env, cwd=str(REPO), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+def test_launch_restart_counter_reaches_worker(tmp_path):
+    """Rank crashes until attempt 2 (via MSTPU_RESTART_COUNT): the
+    launcher must restart exactly twice and then succeed."""
+    lp = _launcher(tmp_path, ["--max_restarts", "3"],
+                   ["--crash_until_attempt", "2", "--run_seconds", "0.5"])
+    out, _ = lp.communicate(timeout=120)
+    assert lp.returncode == 0, out
+    assert out.count("restarting gang") == 2, out
+    assert json.loads((tmp_path / "gang.json").read_text())["attempt"] == 2
+
+
+def test_launch_gives_up_after_max_restarts(tmp_path):
+    lp = _launcher(tmp_path, ["--max_restarts", "1"],
+                   ["--crash_until_attempt", "99", "--run_seconds", "0.5"])
+    out, _ = lp.communicate(timeout=120)
+    assert lp.returncode == 1
+    assert "giving up" in out
+
+
+def test_launch_sigterm_shuts_down_without_restart(tmp_path):
+    """Preemption: SIGTERM to the launcher forwards to workers; their
+    nonzero exits must NOT be treated as failures to restart."""
+    lp = _launcher(tmp_path, ["--max_restarts", "3"], ["--run_seconds", "60"])
+    state = tmp_path / "gang.json"
+    _wait_for(lambda: state.exists(), 60, "gang start")
+    time.sleep(1.0)
+    lp.send_signal(signal.SIGTERM)
+    out, _ = lp.communicate(timeout=60)
+    assert lp.returncode == 0, out
+    assert "shutdown requested" in out
+    assert "restarting gang" not in out
+    assert json.loads(state.read_text())["attempt"] == 0
