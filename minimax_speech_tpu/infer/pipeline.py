@@ -57,6 +57,12 @@ class TTSConfig:
     max_speech_tokens: int = 512
     min_token_text_ratio: float = 2.0
     max_token_text_ratio: float = 20.0
+    # run the 10-step CFM UNet (the flow stage) in bfloat16: params are
+    # cast once, inputs cast at the flow boundary, and the latents cast
+    # back to fp32 BEFORE the codec so PCM fidelity is unaffected by
+    # the vocoder. Off by default pending the trained-model quality
+    # measurement (scripts/overfit_pipeline.py reports flow_nmse).
+    bf16_flow: bool = False
 
 
 class TTSPipeline:
@@ -83,16 +89,35 @@ class TTSPipeline:
         self.noise = jnp.asarray(cfm_mod.make_fixed_noise(
             15000, cfg.flow.output_size)[None])
 
+        fdt = jnp.bfloat16 if cfg.bf16_flow else None
+        if fdt is not None:
+            self.flow_vars = jax.tree_util.tree_map(
+                lambda x: x.astype(fdt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.flow_vars)
+
+        def fin(*xs):
+            # cast flow inputs so matmuls stay in bf16 (fp32 operands
+            # would promote every op back up)
+            if fdt is None:
+                return xs
+            return tuple(x.astype(fdt)
+                         if hasattr(x, "dtype") and x.dtype == jnp.float32
+                         else x for x in xs)
+
+        def fout(feat):
+            return feat.astype(jnp.float32) if fdt is not None else feat
+
         self._tokenize = jax.jit(self.s3.apply) if s3_vars is not None else None
         self._flow_infer = jax.jit(
-            lambda v, tok, tl, pf, emb, noise: flow_inference(
-                self.flow, v, tok, tl, pf, emb, noise))
+            lambda v, tok, tl, pf, emb, noise: fout(flow_inference(
+                self.flow, v, tok, tl, *fin(pf, emb, noise))))
         # streaming variant: chunk masks on, lookahead tokens held back as
         # encoder context (flow.py prepare_inference finalize=False path)
         self._flow_infer_stream = jax.jit(
-            lambda v, tok, tl, pf, emb, noise: flow_inference(
-                self.flow, v, tok, tl, pf, emb, noise,
-                streaming=True, finalize=False))
+            lambda v, tok, tl, pf, emb, noise: fout(flow_inference(
+                self.flow, v, tok, tl, *fin(pf, emb, noise),
+                streaming=True, finalize=False)))
         if cfg.output_type == "latent":
             self._decode = jax.jit(partial(self.dac.apply,
                                            method=dac_vae.DACVAE.decode))
@@ -103,7 +128,8 @@ class TTSPipeline:
         # (each jit call pays tunnel/dispatch latency, which dominates the
         # per-stage compute at these sizes)
         def _post_lm(fv, cv, tok, tl, pf, emb, noise):
-            feat = flow_inference(self.flow, fv, tok, tl, pf, emb, noise)
+            feat = fout(flow_inference(self.flow, fv, tok, tl,
+                                       *fin(pf, emb, noise)))
             if cfg.output_type == "latent":
                 wav = self.dac.apply(cv, feat, method=dac_vae.DACVAE.decode)
             else:
@@ -137,9 +163,9 @@ class TTSPipeline:
             gv = jnp.take_along_axis(gen, gi, axis=1)
             compact = jnp.where(take_prompt, pv, gv)
             tl = prompt_tok_len + count
-            feat = flow_inference_batched(
-                self.flow, flow_vars, compact, tl, prompt_feat,
-                prompt_feat_len, femb, noise)
+            feat = fout(flow_inference_batched(
+                self.flow, flow_vars, compact, tl,
+                *fin(prompt_feat), prompt_feat_len, *fin(femb, noise)))
             if cfg.output_type == "latent":
                 wav = self.dac.apply(codec_vars, feat,
                                      method=dac_vae.DACVAE.decode)
