@@ -79,7 +79,13 @@ class WNConv(nn.Module):
         fan_in = self.kernel_size * in_ch
         bound = 1.0 / np.sqrt(fan_in)
         v = self.param("v", _uniform_symmetric(bound), shape)
-        g = self.param("g", nn.initializers.ones, (self.features,))
+        # torch weight_norm init: g = ||v|| so the effective kernel IS
+        # the base init. g=1 would force UNIT-norm kernels (~1.7x the
+        # torch scale per layer), which compounds over the deep decoder
+        # until the output tanh saturates at init and from-scratch
+        # training gets zero waveform-loss gradient.
+        g = self.param("g", lambda key, s: jnp.sqrt(
+            jnp.sum(jnp.square(v), axis=(0, 1)) + 1e-12), (self.features,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
                         + 1e-12)
         kernel = (g[None, None, :] / norm) * v
@@ -114,8 +120,9 @@ class WNConvTranspose(nn.Module):
         v = self.param("v", _uniform_symmetric(bound), shape)
         # torch weight_norm on ConvTranspose1d normalizes over dim != 0,
         # i.e. per *input* channel (dim0 of (in, out, k)); here in-channel
-        # is the last axis
-        g = self.param("g", nn.initializers.ones, (in_ch,))
+        # is the last axis. g inits to ||v|| (torch semantics — see WNConv)
+        g = self.param("g", lambda key, s: jnp.sqrt(
+            jnp.sum(jnp.square(v), axis=(0, 1)) + 1e-12), (in_ch,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
                         + 1e-12)
         w = (g[None, None, :] / norm) * v

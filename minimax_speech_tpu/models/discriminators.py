@@ -46,7 +46,10 @@ class WNConv2d(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         v = self.param("v", init, (kh, kw, in_ch, self.features))
-        g = self.param("g", nn.initializers.ones, (self.features,))
+        # g = ||v|| at init (torch weight_norm semantics; see dac_vae.WNConv)
+        g = self.param("g", lambda key, s: jnp.sqrt(
+            jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12),
+            (self.features,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True)
                         + 1e-12)
         kernel = (g / norm) * v
