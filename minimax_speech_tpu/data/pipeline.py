@@ -161,6 +161,10 @@ def _load_pt(path: str):
 
 def _load_audio(path: str):
     import wave
+
+    from minimax_speech_tpu.data import mp3 as mp3_mod
+    if mp3_mod.looks_like_mp3(path):
+        return mp3_mod.decode_mp3(path)
     with wave.open(path) as w:
         sr = w.getframerate()
         n = w.getnframes()
