@@ -123,8 +123,10 @@ def decode_mp3(path: str) -> tuple[np.ndarray, int]:
                 fail("unexpected mid-stream format change")
             continue
         if r != _OK:
-            if done.value == 0 and chunks:
-                break  # EOF without a clean DONE
+            # measured: mpg123 returns DONE even for files truncated
+            # mid-frame, so any other code is a real decode error —
+            # raise (the pipeline opener logs and skips) rather than
+            # return silently truncated audio
             fail("mpg123_read")
     lib.mpg123_close(mh)
     lib.mpg123_delete(mh)
@@ -133,13 +135,34 @@ def decode_mp3(path: str) -> tuple[np.ndarray, int]:
     return np.concatenate(chunks), sr
 
 
+def id3v2_size(head: bytes) -> int:
+    """Total ID3v2 tag bytes at the start of `head`, 0 if none."""
+    if len(head) < 10 or head[:3] != b"ID3":
+        return 0
+    size = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+            | (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
+    return 10 + size + (10 if head[5] & 0x10 else 0)  # +footer
+
+
 def looks_like_mp3(path: str) -> bool:
-    if str(path).endswith(".mp3"):
-        return True
+    """Content sniff, matching native/audio_loader.cpp: container magic
+    (RIFF/fLaC, including behind an ID3v2 tag) wins over the extension,
+    so a misnamed wav/flac routes to its real decoder on both the
+    native and pure-python paths."""
     try:
         with open(path, "rb") as f:
-            head = f.read(3)
+            head = f.read(16)
+            skip = id3v2_size(head)
+            if skip:
+                f.seek(skip)
+                head = f.read(4)
+                # ID3-tagged flac/wav is NOT mp3; anything else after a
+                # real ID3v2 tag is
+                return head[:4] not in (b"fLaC", b"RIFF")
     except OSError:
         return False
-    return (head[:3] == b"ID3" or
-            (len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0))
+    if head[:4] in (b"fLaC", b"RIFF"):
+        return False
+    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        return True
+    return str(path).endswith(".mp3")

@@ -25,8 +25,12 @@ def _load_native():
     _TRIED = True
     root = Path(__file__).resolve().parents[2] / "native"
     so = root / "_native_audio.so"
+    src = root / "audio_loader.cpp"
     try:
-        if not so.exists():
+        stale = (not so.exists()
+                 or (src.exists()
+                     and src.stat().st_mtime > so.stat().st_mtime))
+        if stale:
             sys.path.insert(0, str(root))
             from build import build  # type: ignore
             build(verbose=False)

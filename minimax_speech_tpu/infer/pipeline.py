@@ -34,6 +34,7 @@ from minimax_speech_tpu.models.flow import (FlowConfig, FlowModel,
                                             flow_inference,
                                             init_flow_variables)
 from minimax_speech_tpu.ops import mel as mel_ops
+from minimax_speech_tpu.utils import params_io
 
 
 def next_bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024)) -> int:
@@ -91,19 +92,14 @@ class TTSPipeline:
 
         fdt = jnp.bfloat16 if cfg.bf16_flow else None
         if fdt is not None:
-            self.flow_vars = jax.tree_util.tree_map(
-                lambda x: x.astype(fdt)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                self.flow_vars)
+            self.flow_vars = params_io.cast_floats(self.flow_vars, fdt)
 
         def fin(*xs):
             # cast flow inputs so matmuls stay in bf16 (fp32 operands
             # would promote every op back up)
             if fdt is None:
                 return xs
-            return tuple(x.astype(fdt)
-                         if hasattr(x, "dtype") and x.dtype == jnp.float32
-                         else x for x in xs)
+            return tuple(params_io.cast_floats(list(xs), fdt))
 
         def fout(feat):
             return feat.astype(jnp.float32) if fdt is not None else feat

@@ -22,6 +22,7 @@ import optax
 from flax import struct
 
 from minimax_speech_tpu.parallel import mesh as mesh_lib
+from minimax_speech_tpu.utils.params_io import cast_floats as _cast_floats
 
 
 class TrainState(struct.PyTreeNode):
@@ -66,13 +67,6 @@ def grad_norms_by_component(grads, groups: dict[str, str]):
                 sq = sq + jnp.sum(jnp.square(leaf))
         out[f"grad_norm/{name}"] = jnp.sqrt(sq)
     return out
-
-
-def _cast_floats(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x, tree)
 
 
 def make_lm_loss_fn(model, bf16: bool = False):

@@ -14,6 +14,18 @@ import numpy as np
 SEP = "||"
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating-point leaf of a pytree to `dtype` (ints,
+    bools and non-arrays pass through). The one shared dtype-policy
+    helper for bf16 train steps, bf16 flow inference, and benches."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
 def save_params(path: str, variables: dict):
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
     arrays = {}

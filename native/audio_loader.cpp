@@ -251,7 +251,9 @@ Decoded decode_mp3(const std::string& path) {
       continue;
     }
     if (r != mp3::kOk) {
-      if (done == 0 && !out.samples.empty()) break;  // EOF without DONE
+      // measured: mpg123 returns DONE even for files truncated
+      // mid-frame, so any other code is a real decode error — fail
+      // loudly rather than return silently truncated audio
       return fail("mpg123_read");
     }
   }
@@ -259,6 +261,16 @@ Decoded decode_mp3(const std::string& path) {
   mp3::p_delete(mh);
   if (out.samples.empty()) out.error = "no audio frames decoded in " + path;
   return out;
+}
+
+// total ID3v2 tag bytes at the start of the buffer, 0 if none
+size_t id3v2_size(const std::vector<uint8_t>& buf) {
+  if (buf.size() < 10 || std::memcmp(buf.data(), "ID3", 3) != 0) return 0;
+  size_t size = (static_cast<size_t>(buf[6] & 0x7F) << 21) |
+                (static_cast<size_t>(buf[7] & 0x7F) << 14) |
+                (static_cast<size_t>(buf[8] & 0x7F) << 7) |
+                (buf[9] & 0x7F);
+  return 10 + size + ((buf[5] & 0x10) ? 10 : 0);  // + footer if flagged
 }
 
 bool looks_like_mp3(const std::vector<uint8_t>& buf, const std::string& path) {
@@ -602,6 +614,21 @@ Decoded decode_file(const std::string& path) {
     return decode_flac(buf, path);
   if (buf.size() >= 4 && std::memcmp(buf.data(), "RIFF", 4) == 0)
     return decode_wav(path);
+  // container magic may hide behind an ID3v2 tag (real-world flac
+  // taggers prepend one); mp3 must NOT capture those — mpg123's
+  // resync could misread FLAC frames as MPEG sync and emit garbage
+  size_t skip = id3v2_size(buf);
+  if (skip && skip + 4 <= buf.size()) {
+    if (std::memcmp(buf.data() + skip, "fLaC", 4) == 0) {
+      std::vector<uint8_t> inner(buf.begin() + skip, buf.end());
+      return decode_flac(inner, path);
+    }
+    if (std::memcmp(buf.data() + skip, "RIFF", 4) == 0) {
+      Decoded out;
+      out.error = "ID3-tagged RIFF not supported: " + path;
+      return out;
+    }
+  }
   if (looks_like_mp3(buf, path)) return decode_mp3(path);
   return decode_wav(path);  // keeps the precise wav error messages
 }

@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -34,12 +33,8 @@ def measure(bf16: bool) -> dict:
         cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True))
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
 
-    def to_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
-
-    pipe.lm_vars = to_bf16(pipe.lm_vars)
+    from minimax_speech_tpu.utils.params_io import cast_floats
+    pipe.lm_vars = cast_floats(pipe.lm_vars, jnp.bfloat16)
 
     rng = np.random.default_rng(1986)
     sr16 = np.arange(int(16000 * PROMPT_SECONDS)) / 16000
@@ -64,9 +59,7 @@ def measure(bf16: bool) -> dict:
     wav, _ = run(jax.random.PRNGKey(1))  # compile
     results = []
     for i in range(5):
-        t0 = time.perf_counter()
         wav, tim = run(jax.random.PRNGKey(2 + i))
-        del t0
         results.append(tim)
     results.sort(key=lambda t: t["total_s"])
     med = results[len(results) // 2]

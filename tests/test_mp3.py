@@ -140,6 +140,60 @@ def test_native_loader_matches_ctypes(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-7)
 
 
+def test_misnamed_wav_routes_by_magic(tmp_path, rng):
+    """A RIFF wav named .mp3 must decode as wav on BOTH paths (content
+    magic beats the extension)."""
+    from tests.conftest import synthetic_audio
+    from tests.test_cli import write_wav
+    audio = synthetic_audio(rng, 0.3, 16000)
+    p = tmp_path / "fake.mp3"
+    write_wav(p, audio, 16000)
+    assert not mp3_mod.looks_like_mp3(str(p))
+    from minimax_speech_tpu.data.pipeline import _load_audio
+    a, sr = _load_audio(str(p))
+    assert sr == 16000 and len(a) == len(audio)
+    if native_loader.native_available():
+        (b, sr_n), = native_loader.batch_load([str(p)])
+        assert sr_n == 16000 and len(b) == len(audio)
+
+
+def _id3v2_tag(payload: bytes = b"\0" * 64) -> bytes:
+    n = len(payload)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3\x04\x00\x00" + size + payload
+
+
+def test_id3_tagged_flac_not_eaten_by_mp3(tmp_path):
+    """Real-world taggers prepend ID3v2 to flac; that must not route to
+    libmpg123 (FLAC frame sync aliases MPEG sync -> garbage)."""
+    from tests.test_native_loader import (_BitWriter, _flac_frame,
+                                          _flac_streaminfo,
+                                          _subframe_constant)
+    n, sr = 64, 16000
+    w = _BitWriter()
+    _flac_frame(w, 0, n, 0, 0, [lambda b: _subframe_constant(b, 99, 16)])
+    flac = b"fLaC" + _flac_streaminfo(sr, 1, 16, n) + bytes(w.buf)
+    p = tmp_path / "tagged.flac"
+    p.write_bytes(_id3v2_tag() + flac)
+    assert not mp3_mod.looks_like_mp3(str(p))
+    if native_loader.native_available():
+        (a, sr_n), = native_loader.batch_load([str(p)])
+        assert sr_n == sr and len(a) == n
+        np.testing.assert_allclose(a, np.full(n, 99 / 32768.0), atol=1e-7)
+
+
+def test_truncation_is_tolerated_but_errors_raise(tmp_path):
+    """mpg123 returns DONE for mid-frame truncation (tail frame dropped,
+    no silent half-file reads)."""
+    full = b"".join(_l3_frame(True, 190) for _ in range(10))
+    p = tmp_path / "trunc.mp3"
+    p.write_bytes(full[:-200])
+    audio, sr = mp3_mod.decode_mp3(str(p))
+    assert sr == FS
+    assert len(audio) == 9 * SAMPLES_PER_FRAME
+
+
 def test_real_world_mp3_if_present():
     """A real encoder's output (MPEG2 LSF, ID3v2 tag, Xing header):
     exercises tag skip + LSF parsing beyond what the writer above emits."""
