@@ -57,6 +57,11 @@ class LMConfig:
     top_k: int = 25
     ras_win: int = 10
     ras_tau: float = 0.1
+    # hoist the decode loop's nucleus-sampling RNG into one fused gumbel
+    # generation before the loop (per-step threefry splits are pure op
+    # overhead inside lax.while_loop); same distribution, different noise
+    # plumbing — see ops/sampling.py:ras_sample_batch_pregen
+    pregen_noise: bool = False
 
     @property
     def eos_token(self) -> int:
@@ -363,18 +368,37 @@ def generate(model: SpeechLM, variables, src_type, tok_id, prompt_len,
     valid0 = jnp.concatenate(
         [pad, jnp.zeros((b, max_steps), bool)], axis=1)
 
-    def sample(key, logits, count, recent):
+    if cfg.pregen_noise:
+        # ONE fused gumbel generation for the whole decode instead of
+        # two threefry splits + a per-row split fan-out every step
+        g_top_all = jax.random.gumbel(
+            jax.random.fold_in(key, 0x67756d62),
+            (max_steps, b, cfg.top_k))
+
+    def _mask_logits(logits, count):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # mask fill/pad ids always; mask eos before min_len
         ids = jnp.arange(logp.shape[-1])
         logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
         allow_eos = count >= min_len
-        logp = jnp.where((ids[None] == eos) & ~allow_eos[:, None],
+        return jnp.where((ids[None] == eos) & ~allow_eos[:, None],
                          -jnp.inf, logp)
+
+    def sample(key, logits, count, recent):
+        logp = _mask_logits(logits, count)
         keys = jax.random.split(key, b)
         toks = sampling_ops.ras_sample_batch(
             keys, logp, recent, cfg.top_p, cfg.top_k, cfg.ras_win,
             cfg.ras_tau)
+        return toks.astype(jnp.int32)
+
+    def sample_pregen(key, step, logits, count, recent):
+        logp = _mask_logits(logits, count)
+        g_t = jax.lax.dynamic_index_in_dim(g_top_all, step, 0,
+                                           keepdims=False)
+        toks = sampling_ops.ras_sample_batch_pregen(
+            jax.random.fold_in(key, step), g_t, logp, recent, cfg.top_p,
+            cfg.top_k, cfg.ras_win, cfg.ras_tau)
         return toks.astype(jnp.int32)
 
     def cond(carry):
@@ -383,8 +407,11 @@ def generate(model: SpeechLM, variables, src_type, tok_id, prompt_len,
 
     def body(carry):
         (step, finished, key, logits, cache, valid, out, recent, count) = carry
-        key, k1 = jax.random.split(key)
-        toks = sample(k1, logits, count, recent)
+        if cfg.pregen_noise:
+            toks = sample_pregen(key, step, logits, count, recent)
+        else:
+            key, k1 = jax.random.split(key)
+            toks = sample(k1, logits, count, recent)
         now_eos = (toks == eos) | (count >= max_len)
         newly_finished = finished | now_eos
         emit = ~newly_finished

@@ -96,6 +96,51 @@ def ras_sample_batch(keys: jax.Array, logp: jnp.ndarray,
     return jnp.where(need, fallback, top_ids)
 
 
+def nucleus_gumbel_max(g_top: jnp.ndarray, logp: jnp.ndarray,
+                       top_p: float = 0.8, top_k: int = 25) -> jnp.ndarray:
+    """Batched nucleus sampling from PREGENERATED gumbel noise.
+
+    g_top: (B, top_k) gumbel draws; logp: (B, V). Gumbel-max over the
+    log of the kept top-p/top-k prefix is exactly a categorical draw
+    over the renormalized kept probabilities (same distribution as
+    nucleus_sample; the noise just arrives as an argument instead of a
+    key). Lets a decode loop hoist ALL its RNG into one fused op before
+    the loop — the per-step threefry splits were a measurable slice of
+    the decode step's op overhead."""
+    probs = jax.nn.softmax(logp.astype(jnp.float32), axis=-1)
+    k = min(top_k, probs.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(probs, k)
+    cum_excl = jnp.cumsum(top_vals, axis=-1) - top_vals
+    kept = jnp.where(cum_excl < top_p, top_vals, 0.0)
+    scores = jnp.log(jnp.maximum(kept, 1e-30)) + g_top[:, :k]
+    i = jnp.argmax(scores, axis=-1)
+    return jnp.take_along_axis(top_idx, i[:, None], axis=-1)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("top_p", "top_k", "win_size", "tau_r"))
+def ras_sample_batch_pregen(step_key: jax.Array, g_top: jnp.ndarray,
+                            logp: jnp.ndarray, recent_tokens: jnp.ndarray,
+                            top_p: float = 0.8, top_k: int = 25,
+                            win_size: int = 10,
+                            tau_r: float = 0.1) -> jnp.ndarray:
+    """RAS sampling with the nucleus draw from pregenerated noise.
+
+    step_key: a per-step key (e.g. fold_in(key, step)) used ONLY for the
+    rare repetition-fallback full-distribution draw, which stays under a
+    batch-level lax.cond so non-repetition steps skip it entirely.
+    Same distribution as ras_sample_batch; not bit-identical (different
+    noise plumbing)."""
+    top_ids = nucleus_gumbel_max(g_top, logp, top_p, top_k).astype(jnp.int32)
+    rep_num = jnp.sum(recent_tokens == top_ids[:, None], axis=1)
+    need = rep_num >= win_size * tau_r
+    fallback = jax.lax.cond(
+        jnp.any(need),
+        lambda: jax.random.categorical(
+            step_key, logp.astype(jnp.float32), axis=-1).astype(jnp.int32),
+        lambda: top_ids)
+    return jnp.where(need, fallback, top_ids)
+
+
 def push_recent(recent_tokens: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
     """Shift the ring buffer left and append the newest token."""
     return jnp.concatenate([recent_tokens[1:], token[None].astype(recent_tokens.dtype)])

@@ -181,6 +181,76 @@ def test_generate_decodes(lm):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_generate_pregen_noise(lm):
+    """cfg.pregen_noise hoists decode RNG out of the loop; the decode
+    must keep every generate() contract (bounds, padding, determinism)."""
+    import dataclasses
+    m, variables, _ = lm
+    mp = llm_mod.SpeechLM(dataclasses.replace(SMALL_LM, pregen_noise=True))
+    src, tok, plen = llm_mod.build_inference_plan(
+        np.array([5, 6, 7]), np.array([10, 11]), use_spk=True)
+    spk = jnp.zeros((1, 32))
+    out, count = llm_mod.generate(
+        mp, variables, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), spk, jax.random.PRNGKey(1),
+        jnp.array([2]), jnp.array([20]), max_steps=24)
+    n = int(count[0])
+    toks = np.asarray(out)[0]
+    assert 2 <= n <= 20
+    assert (toks[:n] >= 0).all() and (toks[:n] < 40).all()
+    assert (toks[n:] == -1).all()
+    out2, _ = llm_mod.generate(
+        mp, variables, jnp.asarray(src), jnp.asarray(tok),
+        jnp.asarray(plen), spk, jax.random.PRNGKey(1),
+        jnp.array([2]), jnp.array([20]), max_steps=24)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_nucleus_gumbel_max_distribution():
+    """Gumbel-max over the kept prefix == categorical over the
+    renormalized nucleus: check the degenerate case exactly and the
+    general case statistically against nucleus_sample."""
+    from minimax_speech_tpu.ops import sampling as so
+    # top_p so small only the argmax is kept -> deterministic
+    logp = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    for s in range(5):
+        g = jax.random.gumbel(jax.random.PRNGKey(s), (1, 4))
+        tid = so.nucleus_gumbel_max(g, logp, top_p=1e-6, top_k=4)
+        assert int(tid[0]) == 0
+
+    # general case: frequencies match the key-based sampler
+    n = 3000
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    ref = np.asarray(jax.vmap(
+        lambda k: so.nucleus_sample(k, logp[0], top_p=0.8, top_k=4))(keys))
+    g = jax.random.gumbel(jax.random.PRNGKey(8), (n, 1, 4))
+    got = np.asarray(jax.vmap(
+        lambda gg: so.nucleus_gumbel_max(gg, logp, top_p=0.8, top_k=4)[0]
+    )(g))
+    for t in range(4):
+        f_ref = (ref == t).mean()
+        f_got = (got == t).mean()
+        assert abs(f_ref - f_got) < 0.05, (t, f_ref, f_got)
+
+
+def test_ras_pregen_fallback_triggers():
+    from minimax_speech_tpu.ops import sampling as so
+    logp = jnp.log(jnp.array([[0.90, 0.04, 0.03, 0.03]]))
+    g = jnp.zeros((1, 4))
+    recent_rep = jnp.full((1, 10), 0, jnp.int32)   # top id everywhere
+    recent_ok = jnp.full((1, 10), -1, jnp.int32)
+    # no repetition: nucleus choice (greedy with zero gumbel) survives
+    t_ok = so.ras_sample_batch_pregen(
+        jax.random.PRNGKey(0), g, logp, recent_ok, top_p=0.8, top_k=4)
+    assert int(t_ok[0]) == 0
+    # repetition: fallback samples the FULL distribution — over many keys
+    # it must pick non-top tokens at roughly the 10% tail rate
+    falls = [int(so.ras_sample_batch_pregen(
+        jax.random.PRNGKey(s), g, logp, recent_rep, top_p=0.8, top_k=4)[0])
+        for s in range(200)]
+    assert any(f != 0 for f in falls)
+
+
 def test_legacy_transformer_lm(rng):
     from minimax_speech_tpu.models.legacy_lm import (LegacyLMConfig,
                                                      LegacyTransformerLM)
