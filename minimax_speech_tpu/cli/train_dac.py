@@ -45,6 +45,15 @@ def main(argv=None):
     p.add_argument("--lambda_mel", type=float, default=None)
     p.add_argument("--lambda_waveform", type=float, default=None)
     p.add_argument("--lambda_stft", type=float, default=None)
+    p.add_argument("--spectral_warmup_steps", type=int, default=0,
+                   help="ramp mel/stft weights 0->lambda over N steps "
+                        "(guards the log-magnitude near-silence "
+                        "gradient explosion; see gan_steps)")
+    p.add_argument("--spectral_delay_steps", type=int, default=0,
+                   help="hold mel/stft weights at exactly 0 for N steps "
+                        "before the warmup ramp (waveform L1 must align "
+                        "the output first; see gan_steps)")
+    p.add_argument("--grad_clip", type=float, default=1e3)
     args = p.parse_args(argv)
 
     import jax
@@ -68,7 +77,8 @@ def main(argv=None):
     d_vars = jax.jit(disc.init)(key, jnp.zeros((1, n)))
 
     tx_g = schedule.make_optimizer(lr=args.lr, warmup_steps=args.warmup_steps,
-                                   scheduler="constantlr", grad_clip=1e3,
+                                   scheduler="constantlr",
+                                   grad_clip=args.grad_clip,
                                    weight_decay=1e-3)
     tx_d = schedule.make_optimizer(lr=args.lr, warmup_steps=args.warmup_steps,
                                    scheduler="constantlr", grad_clip=10.0,
@@ -86,7 +96,9 @@ def main(argv=None):
         lam = dataclasses.replace(lam, **overrides)
     gen_step, disc_step = gan_steps.make_dac_steps(
         gen, disc, lambdas=lam, sample_rate=cfg.dac.sample_rate,
-        gan_start_step=args.gan_start_step)
+        gan_start_step=args.gan_start_step,
+        spectral_warmup_steps=args.spectral_warmup_steps,
+        spectral_delay_steps=args.spectral_delay_steps)
     gen_step = jax.jit(gen_step, donate_argnums=(0,))
     disc_step = jax.jit(disc_step, donate_argnums=(0,))
 

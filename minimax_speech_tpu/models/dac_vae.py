@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,6 +63,30 @@ class Snake1d(nn.Module):
         return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x))
 
 
+# Default per-conv init variance multiplier (fan_in * Var(w)).
+#
+# torch's Conv1d default (which the reference's weight_norm captures —
+# its init_weights xavier pass writes m.weight.data, a buffer the
+# weight-norm pre-hook overwrites from (g, v) on the next forward, so
+# it is a no-op) is bound 1/sqrt(fan_in) => multiplier 1/3. Measured on
+# this model: the encoder's ~8 non-residual convs shrink the signal
+# 0.58x each, so mu at init is ~0.005 while the reparam noise is
+# sigma=1 — a 200:1 noise floor the optimizer escapes only after many
+# thousands of steps (posterior collapse: trained encoders stayed
+# input-independent; decode output was a constant 1 kHz pattern).
+#
+# 0.5 keeps a [3 residual units + strided conv] encoder block at an
+# overall variance multiplier of ~1.0 ((1 + m^2)^3 * m for branch
+# multiplier m): measured mu std at init is then within ~2x of the
+# input RMS and from-scratch training takes off immediately. Loaded
+# checkpoints are unaffected (converters overwrite g and v).
+INIT_VAR = 0.5
+
+
+def _wn_uniform(fan_in: int, init_var: float):
+    return _uniform_symmetric(float(np.sqrt(3.0 * init_var / fan_in)))
+
+
 class WNConv(nn.Module):
     """Weight-normalized Conv1d: kernel = g * v / ||v||, norm per output
     channel over (k, in) — torch weight_norm dim=0 semantics."""
@@ -71,25 +95,25 @@ class WNConv(nn.Module):
     stride: int = 1
     padding: int = 0
     dilation: int = 1
+    init_var: float = INIT_VAR
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch, self.features)
         fan_in = self.kernel_size * in_ch
-        bound = 1.0 / np.sqrt(fan_in)
-        v = self.param("v", _uniform_symmetric(bound), shape)
-        # torch weight_norm init: g = ||v|| so the effective kernel IS
-        # the base init. g=1 would force UNIT-norm kernels (~1.7x the
-        # torch scale per layer), which compounds over the deep decoder
-        # until the output tanh saturates at init and from-scratch
-        # training gets zero waveform-loss gradient.
+        v = self.param("v", _wn_uniform(fan_in, self.init_var), shape)
+        # torch weight_norm semantics: g = ||v|| so the effective kernel
+        # IS the base init (g=1 would force unit-norm kernels, ~1.7x the
+        # intended scale per layer — enough to saturate the decoder's
+        # output tanh at init and kill waveform-loss gradients).
         g = self.param("g", lambda key, s: jnp.sqrt(
             jnp.sum(jnp.square(v), axis=(0, 1)) + 1e-12), (self.features,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
                         + 1e-12)
         kernel = (g[None, None, :] / norm) * v
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param("bias", self.bias_init, (self.features,))
         # compute in the parameter dtype (bf16 params -> bf16 conv; raw
         # lax.conv requires matching operand dtypes, unlike nn.Conv)
         y = jax.lax.conv_general_dilated(
@@ -108,6 +132,7 @@ class WNConvTranspose(nn.Module):
     stride: int
     padding: int
     output_padding: int = 0
+    init_var: float = 0.0  # 0 -> INIT_VAR * stride (see below)
 
     @nn.compact
     def __call__(self, x):
@@ -116,8 +141,11 @@ class WNConvTranspose(nn.Module):
         # trick: conv(dilate(x, s), flip_k(W)) with swapped channel roles
         shape = (self.kernel_size, self.features, in_ch)
         fan_in = self.kernel_size * in_ch
-        bound = 1.0 / np.sqrt(fan_in)
-        v = self.param("v", _uniform_symmetric(bound), shape)
+        # a stride-s transposed conv has only ~k/s contributing taps per
+        # output sample, so preserving variance needs s x the weight
+        # variance of a dense conv with the same nominal fan_in
+        init_var = self.init_var or INIT_VAR * self.stride
+        v = self.param("v", _wn_uniform(fan_in, init_var), shape)
         # torch weight_norm on ConvTranspose1d normalizes over dim != 0,
         # i.e. per *input* channel (dim0 of (in, out, k)); here in-channel
         # is the last axis. g inits to ||v|| (torch semantics — see WNConv)
@@ -235,7 +263,19 @@ class DACVAE(nn.Module):
     def setup(self):
         self.encoder = DACEncoder(self.cfg)
         self.decoder = DACDecoder(self.cfg)
-        self.en_conv_post = WNConv(2 * self.cfg.latent_dim, 1)
+
+        def mu_logs_bias(key, shape, dtype=jnp.float32):
+            # start near-deterministic: logs = -4 (sigma ~ 0.018) so the
+            # reparam noise cannot swamp the encoder signal at init (the
+            # measured posterior-collapse mode — see INIT_VAR above);
+            # the beta-annealed KL pulls sigma up later as training
+            # regularizes
+            l = self.cfg.latent_dim
+            return jnp.concatenate([jnp.zeros((l,), dtype),
+                                    jnp.full((l,), -4.0, dtype)])
+
+        self.en_conv_post = WNConv(2 * self.cfg.latent_dim, 1,
+                                   bias_init=mu_logs_bias)
         self.de_conv_pre = WNConv(self.cfg.latent_dim, 1)
 
     def encode(self, audio, key=None):

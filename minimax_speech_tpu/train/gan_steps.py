@@ -42,8 +42,25 @@ def kl_beta(step, warmup: int = 10000, beta: float = 1.0):
 
 
 def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
-                   sample_rate: int = 24000, gan_start_step: int = 0):
-    """Returns (gen_step, disc_step). batch: {'audio': (B, T)}."""
+                   sample_rate: int = 24000, gan_start_step: int = 0,
+                   spectral_warmup_steps: int = 0,
+                   spectral_delay_steps: int = 0):
+    """Returns (gen_step, disc_step). batch: {'audio': (B, T)}.
+
+    spectral_delay_steps holds the mel/stft weights at EXACTLY zero for
+    that many steps; spectral_warmup_steps then ramps them linearly to
+    their lambdas. Measured pathology this guards against: the
+    log-magnitude terms in mel/stft losses have gradient ~1/|S|, which
+    explodes while the decoder output is still near-silent; after global
+    clipping those directions drown the waveform-L1 alignment signal and
+    training settles permanently into an energy-matched but uncorrelated
+    output (recon SNR pinned at ~-1.8 dB). A ramp alone is NOT enough —
+    re-measured through the real CLI: a 0->1 ramp over 300 steps crosses
+    the re-trap threshold (~0.3 relative weight) long before waveform L1
+    has aligned the output, and lands in the same uncorrelated optimum.
+    The delay lets L1 bootstrap a correlated signal first (single-crop
+    probe: +24 dB SNR in 300 L1-only steps); the spectral terms then
+    engage on a healthy output."""
 
     def disc_step(d_state: TrainState, g_params, batch, key):
         audio = batch["audio"]
@@ -73,6 +90,12 @@ def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
                 if lambdas.stft else 0.0
             wav = audio_losses.l1_loss(fake, audio) if lambdas.waveform else 0.0
             kl = losses.kl_loss(out["mu"], out["logs"])
+            ramp = 1.0
+            if spectral_delay_steps > 0 or spectral_warmup_steps > 0:
+                past = (g_state.step.astype(jnp.float32)
+                        - spectral_delay_steps)
+                ramp = jnp.clip(past / max(spectral_warmup_steps, 1),
+                                0.0, 1.0)
             use_gan = (g_state.step >= gan_start_step).astype(jnp.float32)
             fake_scores, fake_fmaps = discriminator.apply(
                 {"params": d_params}, fake)
@@ -80,7 +103,7 @@ def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
             adv = losses.generator_adv_loss(fake_scores)
             feat = losses.feature_matching_loss(real_fmaps, fake_fmaps)
             beta = kl_beta(g_state.step)
-            total = (lambdas.mel * mel + lambdas.stft * stft
+            total = (ramp * (lambdas.mel * mel + lambdas.stft * stft)
                      + lambdas.waveform * wav + lambdas.kl * beta * kl
                      + use_gan * (lambdas.adv_gen * adv
                                   + lambdas.adv_feat * feat))
