@@ -167,20 +167,26 @@ class ContinuousBatcher:
         eos = cfg.lm.eos_token
         m = self.p.lm
 
-        def body(c, _):
+        def body(c, xs):
             key, logits, cache, valid, recent, counts, done = c
-            key, k1 = jax.random.split(key)
-            b = logits.shape[0]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             ids = jnp.arange(logp.shape[-1])
             logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
             allow = counts >= min_len
             logp = jnp.where((ids[None] == eos) & ~allow[:, None],
                              -jnp.inf, logp)
-            keys = jax.random.split(k1, b)
-            toks = sampling_ops.ras_sample_batch(
-                keys, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
-                cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
+            if cfg.lm.pregen_noise:
+                g_t, i = xs
+                toks = sampling_ops.ras_sample_batch_pregen(
+                    jax.random.fold_in(jax.random.fold_in(key, i), 1),
+                    g_t, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
+                    cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
+            else:
+                key, k1 = jax.random.split(key)
+                keys = jax.random.split(k1, logits.shape[0])
+                toks = sampling_ops.ras_sample_batch(
+                    keys, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
+                    cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
             now_eos = (toks == eos) | (counts >= max_len)
             done = done | (now_eos & active)
             emit = active & ~done
@@ -200,9 +206,21 @@ class ContinuousBatcher:
             logits = logits.astype(jnp.float32)
             return (key, logits, cache, valid, recent, counts, done), out
 
+        xs = None
+        if cfg.lm.pregen_noise:
+            bsz = logits.shape[0]
+            steps_i = jnp.arange(n, dtype=jnp.int32)
+            g = jax.vmap(lambda i: jax.random.gumbel(
+                jax.random.fold_in(jax.random.fold_in(key, i), 0),
+                (bsz, cfg.lm.top_k)))(steps_i)
+            xs = (g, steps_i)
         (key, logits, cache, valid, recent, counts, done), toks = \
             jax.lax.scan(body, (key, logits, cache, valid, recent,
-                                counts, done), None, length=n)
+                                counts, done), xs, length=n)
+        if cfg.lm.pregen_noise:
+            # body never splits the carried key in pregen mode; advance
+            # it once per burst so the next burst draws fresh noise
+            key = jax.random.fold_in(key, 0x62757273)
         return (key, logits, cache, valid, recent, counts, done, active,
                 jnp.swapaxes(toks, 0, 1))
 

@@ -74,18 +74,29 @@ class TokenStream:
         def apply(method, *args):
             return model.apply(variables, *args, method=method)
 
-        def body(c, _):
+        def body(c, xs):
             key, logits, cache, valid, recent, count, finished, \
                 prompt_len, min_len, max_len, step = c
-            key, k1 = jax.random.split(key)
             logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
             ids = jnp.arange(logp.shape[-1])
             logp = jnp.where(ids > eos, -jnp.inf, logp)
             logp = jnp.where((ids == eos) & (count < min_len), -jnp.inf,
                              logp)
-            tok = sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
-                                          cfg.top_k, cfg.ras_win,
-                                          cfg.ras_tau).astype(jnp.int32)
+            if cfg.pregen_noise:
+                # noise pregenerated per ABSOLUTE step at burst entry
+                # (burst-partition invariant; key stays fixed)
+                g_t, s = xs
+                step_key = jax.random.fold_in(
+                    jax.random.fold_in(key, s), 1)
+                tok = sampling_ops.ras_sample_batch_pregen(
+                    step_key, g_t[None], logp[None], recent[None],
+                    cfg.top_p, cfg.top_k, cfg.ras_win,
+                    cfg.ras_tau)[0].astype(jnp.int32)
+            else:
+                key, k1 = jax.random.split(key)
+                tok = sampling_ops.ras_sample(k1, logp, recent, cfg.top_p,
+                                              cfg.top_k, cfg.ras_win,
+                                              cfg.ras_tau).astype(jnp.int32)
             now_eos = (tok == eos) | (count >= max_len)
             finished = finished | now_eos
             emit = ~finished
@@ -103,7 +114,15 @@ class TokenStream:
                  prompt_len, min_len, max_len, step + 1)
             return c, out_tok
 
-        carry, toks = jax.lax.scan(body, carry, None, length=n)
+        xs = None
+        if cfg.pregen_noise:
+            key0, step0 = carry[0], carry[10]
+            steps = step0 + jnp.arange(n, dtype=jnp.int32)
+            g = jax.vmap(lambda s: jax.random.gumbel(
+                jax.random.fold_in(jax.random.fold_in(key0, s), 0),
+                (cfg.top_k,)))(steps)
+            xs = (g, steps)
+        carry, toks = jax.lax.scan(body, carry, xs, length=n)
         return carry, toks, carry[6]  # (carry, (n,) tokens, finished)
 
     def start(self, src_type, tok_id, prompt_len, spk_emb, key,

@@ -81,20 +81,26 @@ class BatchStreamingSession:
         m = self.p.lm
         plen, min_len, max_len = consts
 
-        def body(c, _):
+        def body(c, xs):
             key, logits, cache, valid, recent, counts, done, step = c
-            key, k1 = jax.random.split(key)
-            b = logits.shape[0]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             ids = jnp.arange(logp.shape[-1])
             logp = jnp.where(ids[None] > eos, -jnp.inf, logp)
             allow = counts >= min_len
             logp = jnp.where((ids[None] == eos) & ~allow[:, None],
                              -jnp.inf, logp)
-            keys = jax.random.split(k1, b)
-            toks = sampling_ops.ras_sample_batch(
-                keys, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
-                cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
+            if cfg.lm.pregen_noise:
+                g_t, s = xs
+                toks = sampling_ops.ras_sample_batch_pregen(
+                    jax.random.fold_in(jax.random.fold_in(key, s), 1),
+                    g_t, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
+                    cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
+            else:
+                key, k1 = jax.random.split(key)
+                keys = jax.random.split(k1, logits.shape[0])
+                toks = sampling_ops.ras_sample_batch(
+                    keys, logp, recent, cfg.lm.top_p, cfg.lm.top_k,
+                    cfg.lm.ras_win, cfg.lm.ras_tau).astype(jnp.int32)
             now_eos = (toks == eos) | (counts >= max_len)
             done = done | now_eos
             emit = ~done
@@ -113,7 +119,16 @@ class BatchStreamingSession:
             return (key, logits, cache, valid, recent, counts, done,
                     step + 1), out
 
-        carry, toks = jax.lax.scan(body, carry, None, length=n)
+        xs = None
+        if cfg.lm.pregen_noise:
+            key0, step0 = carry[0], carry[7]
+            bsz = carry[1].shape[0]
+            steps = step0 + jnp.arange(n, dtype=jnp.int32)
+            g = jax.vmap(lambda s: jax.random.gumbel(
+                jax.random.fold_in(jax.random.fold_in(key0, s), 0),
+                (bsz, cfg.lm.top_k)))(steps)
+            xs = (g, steps)
+        carry, toks = jax.lax.scan(body, carry, xs, length=n)
         return carry, jnp.swapaxes(toks, 0, 1), carry[6]  # (B, n), done(B,)
 
     def run(self, requests: Sequence[Request], key=None
