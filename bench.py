@@ -42,9 +42,14 @@ def main():
     # int8 weight-only LM projections + bf16 everything else: the AR
     # decode is weight-bandwidth-bound, so int8 halves the bytes per step
     # again over bf16 (accuracy within 5% relative, tests/test_llm.py)
+    import os
     cfg = pl.TTSConfig(max_speech_tokens=GEN_TOKENS)
     cfg.lm = dataclasses.replace(
-        cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True))
+        cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True),
+        # MSTPU_PREGEN=1 A/Bs the pregenerated-noise decode (see
+        # ops/sampling.py:ras_sample_batch_pregen); flip the default
+        # once bench_decode_variants shows a win on TPU
+        pregen_noise=bool(os.environ.get("MSTPU_PREGEN")))
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
 
     def to_bf16(tree):
