@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--config", type=str, default=None,
                    help="yaml whose model.dac section sets the codec "
                         "geometry (default: production DACVAEConfig)")
+    p.add_argument("--stats_out", type=str, default=None,
+                   help="write per-channel latent mean/std over this "
+                        "rank's sidecars as JSON (default: "
+                        "latent_stats.json next to --ckpt on rank 0; "
+                        "feed into model.flow.latent_mean/latent_std so "
+                        "the flow standardizes latents internally)")
     args = p.parse_args(argv)
 
     import jax
@@ -96,6 +102,36 @@ def main(argv=None):
         Path(f"failed_latents_rank{pi}.txt").write_text("\n".join(failed))
     print(f"[rank {pi}/{pc}] encoded {done} files in {time.time() - t0:.1f}s "
           f"({len(failed)} failed)")
+
+    stats_out = args.stats_out
+    if stats_out is None and args.ckpt and pi == 0:
+        stats_out = str(Path(args.ckpt).parent / "latent_stats.json")
+    if stats_out:
+        # accumulate from the sidecars on disk (covers --skip_existing
+        # resumes); mu arrays are tiny relative to the audio
+        import json
+        s = ss = None
+        n = 0
+        for path in files:
+            out = path.with_name(path.stem + "_latent2x.npz")
+            if not out.exists():
+                continue
+            mu = np.load(out)["mu"].astype(np.float64)
+            if s is None:
+                s = mu.sum(0)
+                ss = (mu * mu).sum(0)
+            else:
+                s += mu.sum(0)
+                ss += (mu * mu).sum(0)
+            n += mu.shape[0]
+        if n:
+            mean = s / n
+            var = np.maximum(ss / n - mean * mean, 1e-12)
+            Path(stats_out).write_text(json.dumps(
+                {"mean": mean.tolist(), "std": np.sqrt(var).tolist(),
+                 "frames": n}))
+            print(f"[rank {pi}/{pc}] latent stats ({n} frames) -> "
+                  f"{stats_out}")
 
 
 if __name__ == "__main__":

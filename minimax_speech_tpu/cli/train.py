@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--export_npz", type=str, default=None,
                    help="also write final params as a flat .npz (the "
                         "interchange format the inference CLIs load)")
+    p.add_argument("--latent_stats", type=str, default=None,
+                   help="latent_stats.json from cli.extract_dac_latents "
+                        "(flow only): sets model.flow.latent_mean/std so "
+                        "the CFM solves in standardized latent space — "
+                        "copy the same stats into the serving config")
     return p.parse_args(argv)
 
 
@@ -123,6 +128,12 @@ def main(argv=None):
 
     data = cfg_lib.apply_overrides(cfg_lib.load_yaml(args.config),
                                    args.override)
+    if args.latent_stats:
+        import json
+        stats = json.loads(Path(args.latent_stats).read_text())
+        data = cfg_lib.apply_overrides(data, [
+            "model.flow.latent_mean=" + json.dumps(stats["mean"]),
+            "model.flow.latent_std=" + json.dumps(stats["std"])])
     tts_cfg = cfg_lib.build_tts_config(data.get("model", {}))
     tcfg = data.get("train", {})
 

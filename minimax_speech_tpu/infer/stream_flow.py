@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from minimax_speech_tpu.models import cfm
-from minimax_speech_tpu.models.flow import FlowModel
+from minimax_speech_tpu.models.flow import (FlowModel, latent_denormalize,
+                                            latent_normalize)
 from minimax_speech_tpu.models.upsample_encoder import make_encoder_cache
 
 
@@ -85,7 +86,7 @@ class ChunkedFlowSession:
             tf = mu.shape[1]
             plen2 = plen * self.ratio
             fmask = (jnp.arange(tf) < plen2)[None, :].astype(mu.dtype)
-            conds = prompt_feat[:, :tf] * fmask[..., None]
+            conds = latent_normalize(c, prompt_feat)[:, :tf] * fmask[..., None]
             z = jnp.broadcast_to(noise[:, :tf], (b, tf, c.output_size))
             _, unet_caches = cfm.solve_euler_collect(
                 est_apply, v, z, mu, fmask, spks, conds,
@@ -106,7 +107,7 @@ class ChunkedFlowSession:
             x, unet_caches = cfm.solve_euler_chunk(
                 est_apply, v, z, mu, spks, cond, self.n_timesteps, c.cfm,
                 unet_caches, off2, q_valid * self.ratio, window=window)
-            return x, enc_cache, unet_caches
+            return latent_denormalize(c, x), enc_cache, unet_caches
 
         self._prefill_fn = jax.jit(_prefill)
         self._chunk_fn = jax.jit(partial(_chunk))

@@ -45,10 +45,37 @@ class FlowConfig:
     use_speaker_encoder: bool = True
     freeze_speaker_encoder: bool = True
     n_timesteps: int = 10
+    # Per-channel latent standardization (empty = identity). The
+    # reference trains the flow on RAW DAC latents (flow.py:388) and
+    # relies on its codec's KL term leaving them near unit scale; a
+    # from-scratch or lightly-KL'd codec can emit latents at any scale,
+    # and CFM conditioning drowns when std(latent) << std(noise)=1.
+    # Stats come from cli/extract_dac_latents (latent_stats.json); the
+    # flow normalizes internally so every external surface stays in raw
+    # latent space.
+    latent_mean: tuple = ()
+    latent_std: tuple = ()
     encoder: UpsampleEncoderConfig = field(default_factory=UpsampleEncoderConfig)
     unet: DecoderUNetConfig = field(default_factory=DecoderUNetConfig)
     cfm: cfm.CFMConfig = field(default_factory=cfm.CFMConfig)
     speaker: SpeakerEncoderConfig = field(default_factory=SpeakerEncoderConfig)
+
+
+def latent_normalize(cfg: FlowConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Raw latent space -> the standardized space the CFM solves in."""
+    if not cfg.latent_mean and not cfg.latent_std:
+        return x
+    mean = jnp.asarray(cfg.latent_mean or (0.0,) * cfg.output_size, x.dtype)
+    std = jnp.asarray(cfg.latent_std or (1.0,) * cfg.output_size, x.dtype)
+    return (x - mean) / std
+
+
+def latent_denormalize(cfg: FlowConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if not cfg.latent_mean and not cfg.latent_std:
+        return x
+    mean = jnp.asarray(cfg.latent_mean or (0.0,) * cfg.output_size, x.dtype)
+    std = jnp.asarray(cfg.latent_std or (1.0,) * cfg.output_size, x.dtype)
+    return x * std + mean
 
 
 class FlowModel(nn.Module):
@@ -132,6 +159,7 @@ class FlowModel(nn.Module):
         """
         c = self.cfg
         spks = self.spk_embed_affine_layer(embedding)
+        feat = latent_normalize(c, feat)
 
         mu, h_len = self.encode_tokens(token, token_len, streaming=streaming)
         tf = feat.shape[1]
@@ -163,6 +191,7 @@ class FlowModel(nn.Module):
         """
         c = self.cfg
         spks = self.spk_embed_affine_layer(embedding)
+        prompt_feat = latent_normalize(c, prompt_feat)
 
         if finalize:
             mu, h_len = self.encode_tokens(token, token_len,
@@ -241,7 +270,7 @@ def flow_inference(model: FlowModel, variables, token, token_len,
     z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
     feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
                            c.n_timesteps, c.cfm, streaming=streaming)
-    return feat[:, mel_len1:]
+    return latent_denormalize(c, feat[:, mel_len1:])
 
 
 def flow_inference_unit_grid(model: FlowModel, variables, token, token_len,
@@ -267,7 +296,7 @@ def flow_inference_unit_grid(model: FlowModel, variables, token, token_len,
     z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
     feat = cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
                            c.n_timesteps, c.cfm, streaming=True)
-    return feat
+    return latent_denormalize(c, feat)
 
 
 def flow_inference_batched(model: FlowModel, variables, token, token_len,
@@ -288,5 +317,6 @@ def flow_inference_batched(model: FlowModel, variables, token, token_len,
                            method=FlowModel.estimate)
 
     z = jnp.broadcast_to(noise[:, :tf], (mu.shape[0], tf, c.output_size))
-    return cfm.solve_euler(est_apply, None, z, mu, mask, spks, conds,
-                           c.n_timesteps, c.cfm, streaming=streaming)
+    return latent_denormalize(c, cfm.solve_euler(
+        est_apply, None, z, mu, mask, spks, conds,
+        c.n_timesteps, c.cfm, streaming=streaming))

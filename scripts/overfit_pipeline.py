@@ -221,14 +221,27 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
             "--augment_prob", "0.0", "--sample_freq", str(10 * dac_iters),
             "--export_npz", str(model_dir / "codec.npz")])
 
-    # 3. latents from the trained codec
+    # 3. latents from the trained codec (+ per-channel stats)
     lat_files = [str(Path(u["wav"]).with_suffix("")) + "_latent2x.npz"
                  for u in meta["utts"]]
-    if not stage_done(*lat_files):
+    stats_path = model_dir / "latent_stats.json"
+    if not stage_done(stats_path, *lat_files):
         extract_dac_latents.main(["--file_list", meta["list"],
                                   "--ckpt", str(model_dir / "codec.npz"),
                                   "--config", str(cfg_path),
+                                  "--stats_out", str(stats_path),
                                   "--verify_fraction", "0"])
+
+    # standardize latents inside the flow (a from-scratch codec has no
+    # KL pressure toward unit scale; CFM conditioning drowns when
+    # std(latent) << std(noise)=1 — measured: flow loss stuck at ~1.0,
+    # inference NMSE 13.7 = pure noise at the wrong scale)
+    stats = json.loads(stats_path.read_text())
+    data = cfg_lib.apply_overrides(data, [
+        "model.flow.latent_mean=" + json.dumps(stats["mean"]),
+        "model.flow.latent_std=" + json.dumps(stats["std"]),
+    ])
+    cfg_path.write_text(yaml.safe_dump(data))
 
     # 4. flow: tokens -> latents, overfit
     if not stage_done(model_dir / "flow.npz"):

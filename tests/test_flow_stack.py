@@ -307,6 +307,47 @@ def test_flow_train_and_inference(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_latent_normalization_invariance(rng):
+    """A flow with latent stats on RAW latents must be exactly the
+    identity-stat flow on STANDARDIZED latents: same loss, and inference
+    output = standardized output * std + mean (the CFM solves in the
+    standardized space; every external surface stays raw)."""
+    import dataclasses
+
+    from minimax_speech_tpu.models.flow import flow_inference
+
+    mean = tuple(float(x) for x in rng.standard_normal(8) * 0.3)
+    std = tuple(float(x) for x in rng.uniform(0.1, 0.5, 8))
+    m0 = FlowModel(SMALL_FLOW)
+    m1 = FlowModel(dataclasses.replace(SMALL_FLOW, latent_mean=mean,
+                                       latent_std=std))
+    b, tt = 2, 8
+    token = jnp.asarray(rng.integers(0, 50, (b, tt)))
+    token_len = jnp.array([8, 6])
+    feat_std = jnp.asarray(rng.standard_normal((b, 2 * tt, 8)), jnp.float32)
+    feat_raw = feat_std * jnp.asarray(std) + jnp.asarray(mean)
+    feat_len = jnp.array([16, 12])
+    emb = jnp.asarray(rng.standard_normal((b, 192)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    variables = m0.init(key, token, token_len, feat_std, feat_len, emb, key)
+    loss0 = m0.apply(variables, token, token_len, feat_std, feat_len,
+                     emb, key)
+    loss1 = m1.apply(variables, token, token_len, feat_raw, feat_len,
+                     emb, key)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
+
+    noise = jnp.asarray(cfm_mod.make_fixed_noise(64, 8)[None])
+    out0 = flow_inference(m0, variables, token, token_len, feat_std[:, :6],
+                          emb, noise)
+    out1 = flow_inference(m1, variables, token, token_len, feat_raw[:, :6],
+                          emb, noise)
+    np.testing.assert_allclose(
+        np.asarray(out1),
+        np.asarray(out0) * np.asarray(std) + np.asarray(mean),
+        rtol=1e-4, atol=1e-5)
+
+
 def test_speaker_encoder_unit_norm(rng):
     cfg = SpeakerEncoderConfig(mel_dim=8, model_dim=16, output_dim=12,
                                num_blocks=2, num_heads=2)
