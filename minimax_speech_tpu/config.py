@@ -57,6 +57,13 @@ def apply_overrides(data: dict, overrides: list[str]) -> dict:
     for ov in overrides:
         key, _, raw = ov.partition("=")
         val = yaml.safe_load(raw)
+        if isinstance(val, str):
+            # pyyaml is YAML 1.1: "2e-3" (no dot) parses as a STRING and
+            # crashes later in the optimizer; accept scientific notation
+            try:
+                val = float(val)
+            except ValueError:
+                pass
         node = data
         parts = key.strip().split(".")
         for p in parts[:-1]:

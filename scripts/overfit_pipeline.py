@@ -135,7 +135,7 @@ def _xcorr_peak(x: np.ndarray, y: np.ndarray, max_lag: int) -> float:
 
 
 def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
-        dac_iters: int = 1500, flow_epochs: int = 400, llm_epochs: int = 300,
+        dac_iters: int = 1500, flow_epochs: int = 2000, llm_epochs: int = 300,
         llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 5e-4,
         resume: bool = True,
         config: str = str(REPO / "configs/tiny.yaml")) -> dict:
@@ -407,7 +407,7 @@ def main(argv=None):
     ap.add_argument("--workdir", type=str, required=True)
     ap.add_argument("--n_utts", type=int, default=4)
     ap.add_argument("--dac_iters", type=int, default=1500)
-    ap.add_argument("--flow_epochs", type=int, default=400)
+    ap.add_argument("--flow_epochs", type=int, default=2000)
     ap.add_argument("--llm_epochs", type=int, default=300)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the workdir first")

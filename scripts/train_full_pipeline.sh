@@ -11,5 +11,9 @@ TOK_ARG=""
 python -m minimax_speech_tpu.cli.train --model llm \
     --train_data "$DATA_LIST" --model_dir "$EXP_DIR/llm" $TOK_ARG
 
+# LATENT_STATS: latent_stats.json written by extract_dac_latents (next
+# to the DAC ckpt) — standardizes latents inside the flow; required when
+# the codec was trained from scratch (no KL pressure toward unit scale)
 python -m minimax_speech_tpu.cli.train --model flow \
-    --train_data "$DATA_LIST" --model_dir "$EXP_DIR/flow" $TOK_ARG
+    --train_data "$DATA_LIST" --model_dir "$EXP_DIR/flow" $TOK_ARG \
+    ${LATENT_STATS:+--latent_stats "$LATENT_STATS"}
