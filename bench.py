@@ -49,7 +49,7 @@ def main():
         # MSTPU_PREGEN=1 A/Bs the pregenerated-noise decode (see
         # ops/sampling.py:ras_sample_batch_pregen); flip the default
         # once bench_decode_variants shows a win on TPU
-        pregen_noise=bool(os.environ.get("MSTPU_PREGEN")))
+        pregen_noise=os.environ.get("MSTPU_PREGEN", "0") not in ("", "0"))
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
 
     def to_bf16(tree):

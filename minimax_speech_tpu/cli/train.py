@@ -77,6 +77,13 @@ def build_stages(cfg_train, tokenizer, model_kind: str,
         lambda it: dp.sort_by_len(it, 500),
     ]
     if static_shapes:
+        # over-long (and dpo-incomplete) samples must go BEFORE
+        # batching: a late drop inside the padding stages would shrink
+        # one host's batch and desynchronize the SPMD step
+        max_len = (cfg_train.get("pad_seq", 1024) if model_kind == "llm"
+                   else cfg_train.get("pad_tokens", 512))
+        stages.append(lambda it: dp.filter_static_shapes(
+            it, model_kind, max_len, dpo=dpo))
         stages.append(lambda it: dp.static_batch(
             it, cfg_train.get("batch_size", 8), drop_last=True))
         pad_ref = cfg_train.get("pad_ref", 224)

@@ -22,6 +22,8 @@ import numpy as np
 def build_dataset(args) -> np.ndarray:
     from minimax_speech_tpu.data.image_folder import (ImageFolder,
                                                       synthetic_images)
+    if args.synthetic:
+        return synthetic_images(args.max_images, args.image_size, args.seed)
     if args.tar_shards:
         from minimax_speech_tpu.data.webdataset import WebDatasetShards
         ds = WebDatasetShards(args.tar_shards, size=args.image_size,
@@ -97,9 +99,12 @@ def main(argv=None):
 
     strides = tuple(int(s) for s in args.enc_strides.split(","))
     z_stride = int(np.prod(strides))
-    if args.image_size % max(z_stride, 8):
-        raise SystemExit("image_size must divide enc stride product and 8 "
-                         "(three UNet pools)")
+    if args.image_size % z_stride:
+        raise SystemExit(f"image_size must be divisible by the encoder "
+                         f"stride product {z_stride}")
+    if args.renderer == "unet" and args.image_size % 8:
+        raise SystemExit("image_size must be divisible by 8 for the UNet "
+                         "renderer (three 2x pools)")
     ae_cfg = img_lib.DiToImageConfig(
         z_dim=args.z_dim, enc_channels=args.enc_channels,
         enc_strides=strides, renderer_type=args.renderer,

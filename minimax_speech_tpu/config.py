@@ -14,6 +14,7 @@ happens in code, which keeps everything jit/static-shape friendly.
 from __future__ import annotations
 
 import dataclasses
+import re
 from pathlib import Path
 from typing import Any
 
@@ -57,13 +58,12 @@ def apply_overrides(data: dict, overrides: list[str]) -> dict:
     for ov in overrides:
         key, _, raw = ov.partition("=")
         val = yaml.safe_load(raw)
-        if isinstance(val, str):
+        if isinstance(val, str) and re.fullmatch(
+                r"[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+", val):
             # pyyaml is YAML 1.1: "2e-3" (no dot) parses as a STRING and
-            # crashes later in the optimizer; accept scientific notation
-            try:
-                val = float(val)
-            except ValueError:
-                pass
+            # crashes later in the optimizer; coerce ONLY scientific
+            # notation (bare float() would also swallow 'nan'/'inf'/'1_5')
+            val = float(val)
         node = data
         parts = key.strip().split(".")
         for p in parts[:-1]:

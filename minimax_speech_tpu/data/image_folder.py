@@ -2,15 +2,14 @@
 
 Reference: flowae/datasets/image_folder.py (recursive folder scan +
 resize/center-crop + [-1,1] normalize), class_folder.py (subdir name ->
-class label), webdataset.py (tar-sharded variant — here a .npz-sharded
-equivalent, no external webdataset dependency).
+class label), webdataset.py (tar-sharded variant: see
+minimax_speech_tpu/data/webdataset.py, the single tar-shard reader).
 
 Host-side numpy/PIL only; batches are (B, H, W, C) float32 in [-1, 1],
 channel-last (NHWC) for the TPU convs.
 """
 from __future__ import annotations
 
-import tarfile
 from pathlib import Path
 from typing import Iterator, Optional
 
@@ -112,44 +111,6 @@ class ClassImageFolder(ImageFolder):
                 continue
             yield np.stack(imgs), np.asarray(labs, np.int32)
             produced += 1
-
-
-class TarImageShards:
-    """Tar-sharded image dataset: a directory of .tar files whose
-    members are images — the webdataset layout (reference:
-    datasets/webdataset.py), read with the stdlib tarfile module."""
-
-    def __init__(self, shard_dir: str, size: int = 64):
-        self.size = size
-        self.shards = sorted(Path(shard_dir).glob("*.tar"))
-        if not self.shards:
-            raise FileNotFoundError(f"no .tar shards under {shard_dir}")
-
-    def __iter__(self) -> Iterator[np.ndarray]:
-        import io
-
-        from PIL import Image
-
-        for shard in self.shards:
-            with tarfile.open(shard) as tf:
-                for m in tf.getmembers():
-                    if not m.isfile() or not m.name.lower().endswith(
-                            IMAGE_EXTS):
-                        continue
-                    data = tf.extractfile(m).read()
-                    img = Image.open(io.BytesIO(data)).convert("RGB")
-                    arr = np.asarray(
-                        img.resize((self.size, self.size), Image.BILINEAR),
-                        np.float32) / 255.0
-                    yield arr * 2.0 - 1.0
-
-    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
-        buf = []
-        for img in self:
-            buf.append(img)
-            if len(buf) == batch_size:
-                yield np.stack(buf)
-                buf = []
 
 
 def synthetic_images(n: int, size: int = 32, seed: int = 0) -> np.ndarray:

@@ -349,6 +349,41 @@ def dynamic_batch(data, max_frames_in_batch: int = 25000,
         yield buf
 
 
+def filter_static_shapes(data, model_kind: str, max_len: int,
+                         dpo: bool = False,
+                         use_spk: bool = True) -> Iterator[dict]:
+    """Multi-host fixed-shape mode: drop anything that cannot fit the
+    fixed pads BEFORE batching. The padding stages' late drops would
+    shrink one host's batch below batch_size and desynchronize the SPMD
+    step (every host must run the same program on the same shapes), so
+    in static mode over-long samples — and, under DPO, samples whose
+    reject sidecar is missing — must never reach static_batch.
+
+    For the LM, a sample's plan length is the same for uni- and
+    bistream interleaves: sos + (spk) + text + task + speech
+    (models/llm.py:build_lm_plan)."""
+    overhead = 3 if use_spk else 2
+    dropped = 0
+    for s in data:
+        if model_kind == "llm":
+            n = len(s["text_token"]) + overhead
+            ok = n + len(s["speech_token"]) <= max_len
+            if dpo:
+                rej = s.get("reject_speech_token")
+                ok = ok and rej is not None and len(rej) > 0 \
+                    and n + len(rej) <= max_len
+        else:
+            ok = len(s["speech_token"]) <= max_len
+        if not ok:
+            dropped += 1
+            if dropped % 100 == 1:
+                logging.warning(
+                    "filter_static_shapes: dropped %d samples that do "
+                    "not fit max_len=%d", dropped, max_len)
+            continue
+        yield s
+
+
 def static_batch(data, batch_size: int = 16,
                  drop_last: bool = False) -> Iterator[list]:
     """drop_last=True is required in multi-host SPMD mode: a trailing

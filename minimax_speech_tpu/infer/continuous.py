@@ -226,6 +226,21 @@ class ContinuousBatcher:
 
     # -- host-side scheduling --------------------------------------------------
     def submit(self, request: Request) -> int:
+        # validate against the fixed pool geometry HERE, so an oversize
+        # request fails its own caller instead of corrupting the shared
+        # KV pool (dynamic_update_slice clamps silently) or crashing a
+        # tick that other requests are riding on
+        cfg = self.p.cfg
+        spk = 1 if cfg.lm.use_speaker_encoder else 0
+        plan_len = (2 + spk + len(request.prompt_text_tokens)
+                    + len(request.text_tokens)
+                    + len(request.prompt_speech_tokens))
+        if plan_len > self.prompt_buckets[-1]:
+            raise ValueError(
+                f"prompt plan of {plan_len} tokens exceeds the largest "
+                f"prompt bucket {self.prompt_buckets[-1]}; shorten the "
+                f"prompt/text or construct the batcher with larger "
+                f"prompt_buckets")
         rid = next(self._ids)
         self._queue.append((rid, request))
         return rid
@@ -297,6 +312,16 @@ class ContinuousBatcher:
         """Flow+vocoder for every lane that is ready — independently of
         the others (no lockstep)."""
         cfg = self.p.cfg
+        # a lane that finished with ZERO emitted tokens (empty text ->
+        # max_len 0) has no audio to synthesize but must still flush,
+        # or its slot leaks and busy() never drains
+        for lane in self.lanes:
+            if not lane.free and not lane.flushed and lane.done \
+                    and not lane.tokens:
+                lane.flushed = True
+                yield StreamEvent(stream=lane.request_id,
+                                  audio=np.zeros(0, np.float32),
+                                  tokens=0, final=True)
         idxs = [i for i, l in enumerate(self.lanes)
                 if not l.free and not l.flushed and l.tokens
                 and (l.done

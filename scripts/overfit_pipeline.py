@@ -165,6 +165,21 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         # channels — below the capacity floor for waveform-exact recon
         "model.dac.encoder_dim=16",
         "model.dac.decoder_dim=128",
+        # flow UNet width must be >= the 80-dim latent: every path to
+        # the output runs through width-`channels` layers (skips concat
+        # the hidden, not the input), so channels=[32] rank-limits the
+        # velocity field — measured: even fixed-(t,z) REGRESSION floors
+        # at loss 0.51 with [32] while [96] crushes it (flow_diag/cap
+        # probes, round 3)
+        "model.flow.unet.channels=[96]",
+        # overfit proof wants the CONDITIONAL reconstruction path:
+        # cfg-dropout spends tiny-model capacity on an unconditional
+        # field, and inference-time CFG extrapolates against that
+        # poorly-trained field, flooring NMSE; contrastive-FM likewise
+        # is a generative regularizer, not a reconstruction aid
+        "model.flow.cfm.training_cfg_rate=0.0",
+        "model.flow.cfm.inference_cfg_rate=0.0",
+        "model.flow.cfm.use_contrastive_fm=false",
     ])
     cfg_path = model_dir / "config.yaml"
     import yaml

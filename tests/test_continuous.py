@@ -133,3 +133,41 @@ def test_continuous_run_driver(rng):
     for rid in (0, 1):
         evs = [e for _, e in timed if e.stream == rid]
         assert evs and evs[-1].final
+
+
+@pytest.mark.slow
+def test_continuous_zero_token_and_oversize_requests(rng):
+    """A request that finishes with zero tokens (empty text -> max_len 0)
+    must still flush + recycle its lane; an oversize prompt plan must be
+    rejected at submit() instead of corrupting the shared KV pool."""
+    cfg = tiny_cfg()
+    cfg.max_speech_tokens = 24
+    pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
+    cb = ContinuousBatcher(pipe, slots=2, token_hop=8, lookahead=3,
+                           overlap_frames=2, prompt_buckets=(32, 64),
+                           key=jax.random.PRNGKey(3))
+    good, = _make_requests(pipe, rng, (0.4,))
+
+    # empty text: min/max token counts are 0, the lane finishes its
+    # first burst with no tokens
+    import dataclasses
+    empty = dataclasses.replace(good, text_tokens=good.text_tokens[:0])
+    rid_e = cb.submit(empty)
+    rid_g = cb.submit(good)
+    events, ticks = [], 0
+    while cb.busy():
+        events.extend(cb.tick())
+        ticks += 1
+        assert ticks < 100, "zero-token lane leaked (busy never drained)"
+    evs_e = [e for e in events if e.stream == rid_e]
+    assert evs_e and evs_e[-1].final and evs_e[-1].tokens == 0
+    evs_g = [e for e in events if e.stream == rid_g]
+    assert evs_g and evs_g[-1].final and evs_g[-1].tokens > 0
+    assert all(l.free for l in cb.lanes)
+
+    # an oversize prompt plan fails its own submit, nothing else
+    big = dataclasses.replace(
+        good, text_tokens=rng.integers(0, 256, 80))
+    with pytest.raises(ValueError, match="prompt bucket"):
+        cb.submit(big)
+    assert not cb.busy()

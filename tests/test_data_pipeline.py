@@ -153,3 +153,42 @@ def test_dpo_pipeline_end_to_end(rng, tmp_path):
     assert np.isfinite(float(metrics["dpo/loss"]))
     assert np.isfinite(float(metrics["dpo/chosen_reward"]))
     assert np.isfinite(float(metrics["dpo/rejected_reward"]))
+
+
+def test_filter_static_shapes_keeps_batches_full():
+    """Multi-host fixed-shape mode: over-long samples (and DPO samples
+    missing their reject sidecar) are dropped BEFORE static_batch, so
+    every emitted batch is exactly batch_size and the padding stages
+    never shrink a batch (the SPMD equal-local-shape invariant)."""
+    def sample(n_text, n_speech, reject=True):
+        s = {"text_token": np.zeros(n_text, np.int32),
+             "speech_token": np.zeros(n_speech, np.int32)}
+        if reject:
+            s["reject_speech_token"] = np.zeros(n_speech + 1, np.int32)
+        return s
+
+    # llm: plan length = text + speech + 3 (sos+spk+task)
+    samples = [sample(10, 20), sample(10, 80), sample(10, 21),
+               sample(10, 22), sample(10, 23)]
+    out = list(dp.filter_static_shapes(iter(samples), "llm", max_len=64))
+    assert len(out) == 4  # the n_speech=80 sample cannot fit 64
+
+    batches = list(dp.static_batch(
+        dp.filter_static_shapes(iter(samples), "llm", 64), 2,
+        drop_last=True))
+    assert [len(b) for b in batches] == [2, 2]
+
+    # dpo: a missing/empty reject sidecar also drops the sample
+    s_missing = sample(10, 20, reject=False)
+    out = list(dp.filter_static_shapes(
+        iter([sample(10, 20), s_missing]), "llm", 64, dpo=True))
+    assert len(out) == 1
+
+    # flow: the speech-token length must fit pad_tokens (no plan
+    # overhead — tokens go straight to the padded token buffer)
+    out = list(dp.filter_static_shapes(
+        iter([sample(10, 20), sample(10, 80)]), "flow", 80))
+    assert len(out) == 2
+    out = list(dp.filter_static_shapes(
+        iter([sample(10, 20), sample(10, 80)]), "flow", 64))
+    assert len(out) == 1

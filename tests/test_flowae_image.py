@@ -149,10 +149,12 @@ def test_class_image_folder(tmp_path, rng):
 
 
 def test_tar_image_shards(tmp_path, rng):
+    """Tar shards of bare images feed the image track through the one
+    tar-shard reader (data/webdataset.py)."""
     import tarfile
 
     from PIL import Image
-    from minimax_speech_tpu.data.image_folder import TarImageShards
+    from minimax_speech_tpu.data.webdataset import WebDatasetShards
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     for i in range(4):
@@ -161,9 +163,11 @@ def test_tar_image_shards(tmp_path, rng):
     with tarfile.open(tmp_path / "shard0.tar", "w") as tf:
         for f in sorted(img_dir.iterdir()):
             tf.add(f, arcname=f.name)
-    ds = TarImageShards(str(tmp_path), size=8)
-    batch = next(ds.batches(2))
+    ds = WebDatasetShards(str(tmp_path), size=8)
+    imgs = [s["image"] for s in ds.samples(epoch=0)]
+    batch = np.stack(imgs[:2])
     assert batch.shape == (2, 8, 8, 3)
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
 
 
 @pytest.mark.slow
