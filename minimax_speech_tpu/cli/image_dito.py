@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--patch", type=int, default=4)
     p.add_argument("--n_steps", type=int, default=None)
+    p.add_argument("--n_classes", type=int, default=0,
+                   help=">0: the ZDM prior is class-conditional; sample "
+                        "labels cycle 0..n_classes-1 (or --class_label)")
+    p.add_argument("--class_label", type=int, default=None)
+    p.add_argument("--guidance", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -75,18 +80,26 @@ def main(argv=None):
         if not args.zdm_params:
             raise SystemExit("--sample requires --zdm_params")
         zcfg = img_lib.ImageZDMConfig(
-            z_dim=args.z_dim,
+            z_dim=args.z_dim, n_classes=args.n_classes,
+            guidance=args.guidance,
             net=DiTConfig(hidden=args.hidden, depth=args.depth,
                           num_heads=args.heads, patch=1,
                           in_channels=args.z_dim, out_channels=args.z_dim,
-                          cond_dim=0))
+                          cond_dim=64 if args.n_classes else 0))
         zdm = img_lib.ImageZDMNet(zcfg)
         zvars = load_params(args.zdm_params)
         z_stride = int(np.prod(strides))
         z_hw = (args.image_size // z_stride,) * 2
+        cls = None
+        if args.n_classes:
+            cls = (jnp.full((args.sample,), args.class_label, jnp.int32)
+                   if args.class_label is not None
+                   else jnp.arange(args.sample, dtype=jnp.int32)
+                   % args.n_classes)
         gen = img_lib.image_zdm_generate(
             zdm, zvars, ae, ae_vars, args.sample, z_hw,
-            (args.image_size,) * 2, key, render_steps=args.n_steps)
+            (args.image_size,) * 2, key, render_steps=args.n_steps,
+            class_labels=cls)
         img_lib.save_image_grid(np.asarray(gen), args.output)
         print(f"wrote {args.sample} samples to {args.output}")
         return

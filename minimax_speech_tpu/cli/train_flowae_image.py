@@ -19,26 +19,51 @@ from pathlib import Path
 import numpy as np
 
 
-def build_dataset(args) -> np.ndarray:
-    from minimax_speech_tpu.data.image_folder import (ImageFolder,
+def build_dataset(args) -> tuple:
+    """-> (images (N,H,W,3) in [-1,1], labels (N,) int32 or None,
+    n_classes)."""
+    from minimax_speech_tpu.data.image_folder import (ClassImageFolder,
+                                                      ImageFolder,
                                                       synthetic_images)
+
+    def synth():
+        imgs = synthetic_images(args.max_images, args.image_size,
+                                args.seed)
+        if not args.class_cond:
+            return imgs, None, 0
+        # smoke-run labels: cyclic assignment (class semantics don't
+        # matter for the conditioning plumbing)
+        n = max(args.n_classes, 2)
+        return imgs, np.arange(len(imgs), dtype=np.int32) % n, n
+
     if args.synthetic:
-        return synthetic_images(args.max_images, args.image_size, args.seed)
+        return synth()
     if args.tar_shards:
         from minimax_speech_tpu.data.webdataset import WebDatasetShards
         ds = WebDatasetShards(args.tar_shards, size=args.image_size,
-                              seed=args.seed)
-        imgs = []
+                              seed=args.seed,
+                              required=("image", "label")
+                              if args.class_cond else ("image",))
+        imgs, labs = [], []
         for s in ds.samples(epoch=0):
             imgs.append(s["image"])
+            if args.class_cond:
+                labs.append(int(s["label"]))
             if len(imgs) >= args.max_images:
                 break
-        return np.stack(imgs)
+        return (np.stack(imgs),
+                np.asarray(labs, np.int32) if args.class_cond else None,
+                (max(labs) + 1) if labs else 0)
     if args.image_dir:
+        if args.class_cond:
+            ds = ClassImageFolder(args.image_dir, size=args.image_size,
+                                  max_images=args.max_images)
+            imgs = np.stack([ds[i] for i in range(len(ds))])
+            return imgs, ds.labels, ds.n_classes
         ds = ImageFolder(args.image_dir, size=args.image_size,
                          max_images=args.max_images)
-        return np.stack([ds[i] for i in range(len(ds))])
-    return synthetic_images(args.max_images, args.image_size, args.seed)
+        return np.stack([ds[i] for i in range(len(ds))]), None, 0
+    return synth()
 
 
 def main(argv=None):
@@ -71,6 +96,14 @@ def main(argv=None):
     p.add_argument("--patch", type=int, default=4)
     p.add_argument("--kl_weight", type=float, default=1e-4)
     p.add_argument("--zaug_p", type=float, default=0.1)
+    p.add_argument("--class_cond", action="store_true",
+                   help="class-conditional ZDM prior (labels from class "
+                        "subdirs / .cls shard members / cyclic synthetic)")
+    p.add_argument("--n_classes", type=int, default=0,
+                   help="override the inferred class count")
+    p.add_argument("--label_drop", type=float, default=0.1)
+    p.add_argument("--guidance", type=float, default=2.0,
+                   help="CFG scale for class-conditional generation")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--ae_params", default=None)
     p.add_argument("--resume", action="store_true")
@@ -93,7 +126,9 @@ def main(argv=None):
     save_dir.mkdir(parents=True, exist_ok=True)
     (save_dir / "config.json").write_text(json.dumps(vars(args), indent=1))
 
-    data = build_dataset(args)
+    data, labels, n_classes = build_dataset(args)
+    if args.n_classes:
+        n_classes = args.n_classes
     rng = np.random.default_rng(args.seed + 1)
     key = jax.random.PRNGKey(args.seed)
 
@@ -124,23 +159,32 @@ def main(argv=None):
     def batches(n):
         for _ in range(n):
             idx = rng.integers(0, data.shape[0], args.batch)
-            yield data[idx]
+            b = {"image": data[idx]}
+            if labels is not None:
+                b["label"] = labels[idx]
+            yield b
 
     z_hw = (args.image_size // z_stride,) * 2
     if args.model == "zdm":
         if not args.ae_params:
             raise SystemExit("--model zdm requires --ae_params")
+        if args.class_cond and labels is None:
+            raise SystemExit("--class_cond needs a labeled dataset")
         ae_vars = load_params(args.ae_params)
+        cls_n = n_classes if args.class_cond else 0
         zcfg = img_lib.ImageZDMConfig(
-            z_dim=args.z_dim,
+            z_dim=args.z_dim, n_classes=cls_n,
+            label_drop=args.label_drop, guidance=args.guidance,
             net=DiTConfig(hidden=args.hidden, depth=args.depth,
                           num_heads=args.heads, patch=1,
                           in_channels=args.z_dim, out_channels=args.z_dim,
-                          cond_dim=0))
+                          cond_dim=64 if cls_n else 0))
         zdm = img_lib.ImageZDMNet(zcfg)
         zvars = zdm.init(jax.random.PRNGKey(args.seed + 2),
                          jnp.zeros((1,) + z_hw + (args.z_dim,)),
-                         jnp.zeros((1,)))
+                         jnp.zeros((1,)),
+                         class_labels=(jnp.zeros((1,), jnp.int32)
+                                       if cls_n else None))
         state = steps.make_train_state(zvars["params"], tx)
         ema = state.params
         step_fn = jax.jit(img_lib.make_image_zdm_step(zdm, ae, ae_vars))
@@ -165,16 +209,18 @@ def main(argv=None):
         nonlocal key
         key, k1 = jax.random.split(key)
         if args.model == "zdm":
+            cls = (jnp.arange(args.batch, dtype=jnp.int32)
+                   % max(n_classes, 1) if zcfg.n_classes else None)
             gen = img_lib.image_zdm_generate(
                 zdm, {"params": ema}, ae, ae_vars, args.batch, z_hw,
                 (args.image_size,) * 2, k1,
-                render_steps=args.eval_n_steps)
+                render_steps=args.eval_n_steps, class_labels=cls)
             img_lib.save_image_grid(
                 np.asarray(gen), str(save_dir / f"samples_{step_i}.png"))
             m = {"zdm_eval/sample_mean": float(jnp.mean(gen)),
                  "zdm_eval/sample_std": float(jnp.std(gen))}
         else:
-            imgs = jnp.asarray(next(iter(batches(1))))
+            imgs = jnp.asarray(next(iter(batches(1)))["image"])
             m = img_lib.eval_image_reconstruction(
                 ae, {"params": state.params}, imgs, k1,
                 n_steps=args.eval_n_steps)
@@ -193,7 +239,8 @@ def main(argv=None):
 
     for i in range(start, args.steps):
         key, k = jax.random.split(key)
-        batch = {"image": jnp.asarray(next(iter(batches(1))))}
+        batch = {k2: jnp.asarray(v)
+                 for k2, v in next(iter(batches(1))).items()}
         state, ema, metrics = step_fn(state, ema, batch, k)
         logger.log(i, metrics)
         if args.eval_every and (i + 1) % args.eval_every == 0:

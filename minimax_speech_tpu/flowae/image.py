@@ -175,32 +175,55 @@ class ImageZDMConfig:
     fm: fm_lib.FMConfig = field(default_factory=fm_lib.FMConfig)
     n_steps: int = 18
     ema_rate: float = 0.9999
+    # class-conditional prior (reference: ldm_trainer.py:197-209,
+    # zdm_class_cond — class index n_classes is the CFG null token)
+    n_classes: int = 0              # 0 = unconditional
+    class_emb_dim: int = 64
+    label_drop: float = 0.1
+    guidance: float = 1.0
 
 
 class ImageZDMNet(nn.Module):
     cfg: ImageZDMConfig = ImageZDMConfig()
 
     @nn.compact
-    def __call__(self, x, t, z_dec=None):
-        return DiT2D(self.cfg.net, name="dit")(x, t, z_dec=z_dec)
+    def __call__(self, x, t, class_labels=None):
+        c = self.cfg
+        z_dec = None
+        if c.n_classes > 0:
+            if class_labels is None:
+                raise ValueError("class-conditional ZDM needs class_labels")
+            z_dec = nn.Embed(c.n_classes + 1, c.class_emb_dim,
+                             name="class_emb")(class_labels)
+        return DiT2D(c.net, name="dit")(x, t, z_dec=z_dec)
 
 
 def make_image_zdm_step(zdm: ImageZDMNet, ae: DiToImage, ae_variables,
                         ema_decay: Optional[float] = None):
     """Frozen-AE latent prior training (reference: ldm_base.py ZDM path
-    + ldm_trainer.py with only the 'zdm' optimizer enabled)."""
+    + ldm_trainer.py with only the 'zdm' optimizer enabled). With
+    cfg.n_classes > 0, batch['label'] conditions the prior and labels
+    drop to the null class with p=cfg.label_drop so CFG has an
+    unconditional branch (reference uncond token: ldm_trainer.py:202)."""
     cfg = zdm.cfg
     decay = ema_decay if ema_decay is not None else cfg.ema_rate
 
     def step(state: TrainState, ema_params, batch, key):
-        k_enc, k_fm = jax.random.split(key)
+        k_enc, k_fm, k_drop = jax.random.split(key, 3)
         _, mu, _ = ae.apply(ae_variables, batch["image"], k_enc,
                             method=DiToImage.encode)
         z = normalize_latents(jax.lax.stop_gradient(mu))
+        labels = None
+        if cfg.n_classes > 0:
+            labels = batch["label"].astype(jnp.int32)
+            drop = jax.random.bernoulli(k_drop, cfg.label_drop,
+                                        labels.shape)
+            labels = jnp.where(drop, cfg.n_classes, labels)
 
         def loss_fn(params):
             def net(x_t, t, **kw):
-                return zdm.apply({"params": params}, x_t, t)
+                return zdm.apply({"params": params}, x_t, t,
+                                 class_labels=labels)
             return fm_lib.fm_loss(net, k_fm, z, cfg.fm)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -215,18 +238,34 @@ def make_image_zdm_step(zdm: ImageZDMNet, ae: DiToImage, ae_variables,
 def image_zdm_generate(zdm: ImageZDMNet, zdm_variables, ae: DiToImage,
                        ae_variables, batch_size: int, z_hw, out_hw, key,
                        n_steps: Optional[int] = None,
-                       render_steps: Optional[int] = None):
-    """Unconditional image generation: sample normalized z, decode
-    (reference: ldm_base.py generate_samples :379-420)."""
+                       render_steps: Optional[int] = None,
+                       class_labels=None,
+                       guidance: Optional[float] = None):
+    """Image generation: sample normalized z (optionally class-
+    conditional with CFG against the null-class token), decode
+    (reference: ldm_base.py generate_samples :379-420 +
+    ldm_trainer.py:347-373 class CFG)."""
     cfg = zdm.cfg
     k_z, k_dec = jax.random.split(key)
 
     def net(x_t, t, **kw):
-        return zdm.apply(zdm_variables, x_t, t)
+        return zdm.apply(zdm_variables, x_t, t, **kw)
 
+    net_kwargs, uncond_kwargs = None, None
+    g = 1.0
+    if cfg.n_classes > 0:
+        if class_labels is None:
+            raise ValueError("class-conditional ZDM needs class_labels")
+        class_labels = jnp.asarray(class_labels, jnp.int32)
+        net_kwargs = {"class_labels": class_labels}
+        g = cfg.guidance if guidance is None else guidance
+        if g != 1.0:
+            uncond_kwargs = {"class_labels": jnp.full_like(
+                class_labels, cfg.n_classes)}
     z = fm_lib.euler_sample(
         net, (batch_size,) + tuple(z_hw) + (cfg.z_dim,), n_steps or
-        cfg.n_steps, cfg.fm, key=k_z)
+        cfg.n_steps, cfg.fm, key=k_z, net_kwargs=net_kwargs,
+        uncond_net_kwargs=uncond_kwargs, guidance=g)
     return dito_image_decode(ae, ae_variables, z, out_hw, k_dec,
                              n_steps=render_steps)
 

@@ -139,11 +139,24 @@ def solve_euler(estimator_apply: Callable, params, x: jnp.ndarray,
     ts = t_span[:-1]
     dts = t_span[1:] - t_span[:-1]
 
+    rate = cfg.inference_cfg_rate
+    if rate == 0.0:
+        # static branch: no guidance -> no batch-of-2, half the
+        # estimator FLOPs per step
+        def step(x, t_dt):
+            t, dt = t_dt
+            t1 = jnp.full((b,), t, x.dtype)
+            d = estimator_apply(params, x, mask, mu, t1, spks, cond,
+                                streaming)
+            return (x + dt.astype(x.dtype) * d.astype(x.dtype)), None
+
+        x, _ = jax.lax.scan(step, x, (ts, dts))
+        return x
+
     mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
     spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
     mask2 = jnp.concatenate([mask, mask], axis=0)
-    rate = cfg.inference_cfg_rate
 
     def step(x, t_dt):
         t, dt = t_dt

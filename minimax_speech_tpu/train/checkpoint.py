@@ -5,10 +5,17 @@ train.py:226-245): sharded orbax checkpoints hold params + opt_state +
 step; the LR position restores for free because optax schedules are
 pure functions of the step (the reference needs
 ResumableSequentialLR.set_step for this).
+
+Periodic-save failures are non-fatal: orbax's async machinery can time
+out under IO/CPU contention (observed: a signaling-thread
+'step_directory_creation' timeout killing a long run), and a missed
+snapshot must cost one snapshot, not the training job. Restore walks
+backward past partially-written steps for the same reason.
 """
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Optional
 
@@ -21,30 +28,66 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self.mngr = ocp.CheckpointManager(
+        self.max_to_keep = max_to_keep
+        self.mngr = self._make()
+
+    def _make(self):
+        return ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.max_to_keep))
+
+    def _reset(self):
+        try:
+            self.mngr.close()
+        except Exception:
+            pass
+        self.mngr = self._make()
 
     def save(self, step: int, state, extra: Optional[dict] = None):
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": np.asarray(step)}
-        self.mngr.save(step, args=ocp.args.StandardSave(payload))
+        try:
+            self.mngr.save(step, args=ocp.args.StandardSave(payload))
+        except Exception as e:
+            logging.warning(
+                "checkpoint save at step %d failed (%s: %s); recreating "
+                "the manager and continuing — next periodic save retries",
+                step, type(e).__name__, e)
+            self._reset()
+            return
         if extra:
             info = self.directory / f"info_{step}.json"
             info.write_text(json.dumps(extra, indent=1))
 
     def restore(self, state, step: Optional[int] = None):
-        step = step if step is not None else self.mngr.latest_step()
-        if step is None:
-            return state, 0
+        if step is not None:
+            steps = [step]
+        else:
+            steps = sorted(self.mngr.all_steps(), reverse=True)
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": np.asarray(0)}
-        restored = self.mngr.restore(
-            step, args=ocp.args.StandardRestore(template))
-        state = state.replace(params=restored["params"],
-                              opt_state=restored["opt_state"],
-                              step=jax.numpy.asarray(restored["step"]))
-        return state, int(restored["step"])
+        for s in steps:
+            try:
+                restored = self.mngr.restore(
+                    s, args=ocp.args.StandardRestore(template))
+            except Exception as e:
+                if step is not None:
+                    raise  # an explicitly requested step must exist
+                logging.warning(
+                    "restore of step %d failed (%s: %s); trying the "
+                    "previous snapshot", s, type(e).__name__, e)
+                continue
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=jax.numpy.asarray(restored["step"]))
+            return state, int(restored["step"])
+        return state, 0
 
     def wait(self):
-        self.mngr.wait_until_finished()
+        try:
+            self.mngr.wait_until_finished()
+        except Exception as e:
+            logging.warning("checkpoint finalize failed (%s: %s)",
+                            type(e).__name__, e)
+            self._reset()

@@ -215,3 +215,63 @@ def test_image_cli_e2e(tmp_path):
                      "--image_size", "16", "--enc_strides", "2,2",
                      "--c0", "8", "--n_steps", "2"])
     assert samp.exists()
+
+
+def test_class_conditional_zdm(tmp_path):
+    """Class-conditional latent prior with CFG (reference:
+    ldm_trainer.py:197-209,347-373 — class_labels conditioning, class
+    index n_classes as the CFG null token): train a few steps through
+    the CLI on labeled synthetic data, then sample per-class through
+    the inference surface with guidance > 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.cli import image_dito, train_flowae_image
+
+    dito_dir = tmp_path / "dito"
+    train_flowae_image.main([
+        "--model", "dito", "--save_dir", str(dito_dir), "--synthetic",
+        "--max_images", "8", "--image_size", "16", "--steps", "2",
+        "--batch", "2", "--enc_strides", "2,2", "--c0", "8",
+        "--eval_every", "0", "--save_every", "0"])
+
+    zdm_dir = tmp_path / "zdm"
+    train_flowae_image.main([
+        "--model", "zdm", "--save_dir", str(zdm_dir), "--synthetic",
+        "--class_cond", "--n_classes", "2", "--label_drop", "0.5",
+        "--max_images", "8", "--image_size", "16", "--steps", "2",
+        "--batch", "4", "--enc_strides", "2,2", "--c0", "8", "--lr",
+        "0.01", "--warmup", "1",
+        "--ae_params", str(dito_dir / "ae_params.npz"),
+        "--eval_every", "2", "--eval_n_steps", "2", "--save_every", "0"])
+    assert (zdm_dir / "zdm_params.npz").exists()
+    assert (zdm_dir / "samples_2.png").exists()
+
+    samp = tmp_path / "samples.png"
+    image_dito.main(["--ae_params", str(dito_dir / "ae_params.npz"),
+                     "--zdm_params", str(zdm_dir / "zdm_params.npz"),
+                     "--sample", "2", "--output", str(samp),
+                     "--image_size", "16", "--enc_strides", "2,2",
+                     "--c0", "8", "--n_steps", "2",
+                     "--n_classes", "2", "--class_label", "1",
+                     "--guidance", "2.0"])
+    assert samp.exists()
+
+    # different class labels steer generation (same key, same noise)
+    from minimax_speech_tpu.flowae import image as img_lib
+    from minimax_speech_tpu.flowae.dit import DiTConfig
+    from minimax_speech_tpu.utils.params_io import load_params
+    zcfg = img_lib.ImageZDMConfig(
+        z_dim=4, n_classes=2, guidance=2.0,
+        net=DiTConfig(hidden=64, depth=3, num_heads=4, patch=1,
+                      in_channels=4, out_channels=4, cond_dim=64))
+    zdm = img_lib.ImageZDMNet(zcfg)
+    zvars = load_params(str(zdm_dir / "zdm_params.npz"))
+    x = jnp.zeros((2, 4, 4, 4))
+    t = jnp.ones((2,))
+    out0 = zdm.apply(zvars, x, t, class_labels=jnp.array([0, 0]))
+    out1 = zdm.apply(zvars, x, t, class_labels=jnp.array([1, 1]))
+    # adaLN-zero: the modulation MLP is zero-init, so class influence
+    # starts tiny — a DISCONNECTED label path gives bit-identical
+    # outputs, a connected one diverges after any training
+    assert not np.array_equal(np.asarray(out0), np.asarray(out1))

@@ -169,3 +169,40 @@ def test_bf16_training_step(rng):
     assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.1
     leaf = jax.tree_util.tree_leaves(s16.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_checkpoint_failures_nonfatal(rng, tmp_path, monkeypatch):
+    """A failed periodic save must not kill training (observed: orbax
+    async signaling timeout under IO contention), and restore must walk
+    back past a partially-written latest step."""
+    import orbax.checkpoint as ocp
+
+    model = llm_mod.SpeechLM(SMALL_LM)
+    variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+    tx = schedule.make_optimizer(lr=1e-3, warmup_steps=1)
+    state = steps.make_train_state(variables["params"], tx)
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, state)
+    ckpt.wait()
+
+    # save failure: log-and-continue, manager recreated and usable
+    def boom(*a, **k):
+        raise TimeoutError("step_directory_creation")
+    monkeypatch.setattr(type(ckpt.mngr), "save", boom)
+    ckpt.save(2, state)          # must not raise
+    monkeypatch.undo()
+    ckpt.save(3, state)          # recreated manager still works
+    ckpt.wait()
+
+    # corrupt the latest snapshot: restore falls back to step 1
+    import shutil
+    latest = sorted((tmp_path / "ckpt").iterdir())[-1]
+    for f in (latest / "default").rglob("*"):
+        if f.is_file():
+            f.write_bytes(b"corrupt")
+            break
+    ckpt2 = CheckpointManager(str(tmp_path / "ckpt"))
+    state2 = steps.make_train_state(variables["params"], tx)
+    state2, restored = ckpt2.restore(state2)
+    assert restored in (1, 3)    # never crashes, lands on a good step
