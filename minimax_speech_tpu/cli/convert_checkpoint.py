@@ -5,7 +5,10 @@
 
 kinds: llm (Qwen2LM), flow (CausalMaskedDiffWithXvec),
 hift (HiFTGenerator), dac (DACVAE generator), s3 (S3TokenizerV2),
-qwen (bare HF Qwen2ForCausalLM dir or .bin/.safetensors).
+qwen (bare HF Qwen2ForCausalLM dir or .bin/.safetensors),
+campplus (x-vector, torch dict or campplus.onnx),
+matcha (Matcha-TTS acoustic ckpt: text-encoder subtree),
+matcha_hifigan (generator_v1 HiFi-GAN dict).
 """
 from __future__ import annotations
 
@@ -29,7 +32,8 @@ def load_torch_state(path: str) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--kind", required=True,
-                   choices=["llm", "flow", "hift", "dac", "s3", "qwen"])
+                   choices=["llm", "flow", "hift", "dac", "s3", "qwen",
+                            "campplus", "matcha", "matcha_hifigan"])
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--config", default="configs/default.yaml")
@@ -43,7 +47,12 @@ def main(argv=None):
     from minimax_speech_tpu.utils.params_io import save_params
 
     cfg = cfg_lib.load_tts_config(args.config, args.override)
-    state = load_torch_state(args.src)
+    if args.kind == "campplus" and args.src.endswith(".onnx"):
+        from minimax_speech_tpu.utils.onnx_reader import \
+            read_onnx_initializers
+        state = read_onnx_initializers(args.src)
+    else:
+        state = load_torch_state(args.src)
 
     if args.kind == "llm":
         variables = convert.speech_lm_params(state, cfg.lm)
@@ -58,6 +67,14 @@ def main(argv=None):
         variables = dac_vae.params_from_torch_state(state, cfg.dac)
     elif args.kind == "s3":
         variables = s3.params_from_torch_state(state)
+    elif args.kind == "campplus":
+        variables = convert.campplus_params(state)
+    elif args.kind == "matcha":
+        variables = {"params": convert.matcha_text_encoder_params(state)}
+    elif args.kind == "matcha_hifigan":
+        from minimax_speech_tpu.models.matcha_hifigan import \
+            matcha_hifigan_params
+        variables = matcha_hifigan_params(state)
     else:  # qwen
         params, embed, lm_head = qwen2.params_from_hf_state(state, cfg.lm.qwen)
         variables = {"params": {"llm": params["params"],

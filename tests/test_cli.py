@@ -99,3 +99,34 @@ def test_extract_embedding_cli(tmp_path, rng):
     emb = np.load(tmp_path / "e0_spk.npy")
     assert emb.shape == (192,)
     np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-5)
+
+
+def test_convert_checkpoint_new_kinds_dispatch(tmp_path, monkeypatch):
+    """campplus/matcha/matcha_hifigan kinds reach the right converter
+    and write loadable npz (the converters themselves are parity-tested
+    in test_campplus / test_matcha_text_encoder / test_matcha_hifigan;
+    matcha_hifigan_params returns FULL variables — the CLI must not
+    re-wrap them in {'params': ...})."""
+    torch = pytest.importorskip("torch")
+    from minimax_speech_tpu.cli import convert_checkpoint
+    from minimax_speech_tpu.models import matcha_hifigan as mh
+    from minimax_speech_tpu.utils import convert
+    from minimax_speech_tpu.utils.params_io import load_params
+
+    src = tmp_path / "ckpt.pt"
+    torch.save({"w": torch.zeros(3)}, src)
+
+    monkeypatch.setattr(convert, "campplus_params",
+                        lambda s, **k: {"params": {"got": s["w"]}})
+    monkeypatch.setattr(convert, "matcha_text_encoder_params",
+                        lambda s, **k: {"got": s["w"]})
+    monkeypatch.setattr(mh, "matcha_hifigan_params",
+                        lambda s, **k: {"params": {"got": s["w"]}})
+
+    for kind in ("campplus", "matcha", "matcha_hifigan"):
+        out = tmp_path / f"{kind}.npz"
+        convert_checkpoint.main(["--kind", kind, "--src", str(src),
+                                 "--out", str(out),
+                                 "--config", "configs/tiny.yaml"])
+        v = load_params(str(out))
+        assert v["params"]["got"].shape == (3,), kind
