@@ -96,10 +96,12 @@ def test_image_trainer_accepts_tar_shards(tmp_path):
 
     make_shards(tmp_path, n=8, per_shard=4)
     args = Namespace(tar_shards=str(tmp_path / "shards"), image_dir=None,
-                     image_size=16, max_images=6, seed=0)
-    data = build_dataset(args)
+                     image_size=16, max_images=6, seed=0,
+                     synthetic=False, class_cond=False, n_classes=0)
+    data, labels, n_classes = build_dataset(args)
     assert data.shape == (6, 16, 16, 3)
     assert data.min() >= -1.0 and data.max() <= 1.0
+    assert labels is None and n_classes == 0
 
 
 def test_json_list_and_validation(tmp_path):
