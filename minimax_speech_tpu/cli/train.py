@@ -228,7 +228,10 @@ def main(argv=None):
                 return None  # remainder batch smaller than the dp extent
             if keep != b:
                 batch = {k: v[:keep] for k, v in batch.items()}
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # keep host numpy until the single device_put: jnp.asarray
+            # first would upload to the default device and then reshard
+            # (two transfers per step)
+            batch = {k: np.asarray(v) for k, v in batch.items()}
             return jax.device_put(batch, sharding)
 
     ex = Executor(steps.jit_step(step_fn), state, logger, ckpt,

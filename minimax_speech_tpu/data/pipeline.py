@@ -287,7 +287,7 @@ def extract_reference_mel(data, sample_rate: int = 24000,
             n = min(int(dur * sample_rate), len(a))
             start = random.randint(0, max(len(a) - n, 0))
             crop = a[start: start + n]
-            m = np.asarray(mel_ops.hifigan_log_mel(crop)).T  # (T, 80)
+            m = mel_ops.hifigan_log_mel_np(crop).T  # (T, 80)
             crops.append(m.astype(np.float32))
         s["reference_mels"] = crops
         yield s
@@ -297,7 +297,7 @@ def compute_fbank(data, token_mel_ratio: int = 2) -> Iterator[dict]:
     """24 kHz mel features clipped to 2x token length
     (reference: processor.py:401-428)."""
     for s in data:
-        m = np.asarray(mel_ops.hifigan_log_mel(s["audio"])).T
+        m = mel_ops.hifigan_log_mel_np(s["audio"]).T
         n = min(m.shape[0] // token_mel_ratio, len(s["speech_token"]))
         s["speech_token"] = s["speech_token"][:n]
         s["speech_feat"] = m[: n * token_mel_ratio].astype(np.float32)

@@ -228,8 +228,12 @@ class TTSPipeline:
         return np.asarray(codes)[0, : int(code_len[0])]
 
     def extract_prompt_mel(self, audio_24k: np.ndarray) -> np.ndarray:
-        """24 kHz prompt -> (T, 80) log-mel at 50 Hz."""
-        return np.asarray(mel_ops.hifigan_log_mel(jnp.asarray(audio_24k)).T)
+        """24 kHz prompt -> (T, 80) log-mel at 50 Hz.
+
+        Host numpy on purpose: eager jnp would dispatch per-op to the
+        device (costly over a tunnel) for a one-off ragged-shape prompt.
+        """
+        return mel_ops.hifigan_log_mel_np(audio_24k).T.copy()
 
     def extract_prompt_latent(self, audio_24k: np.ndarray) -> np.ndarray:
         """24 kHz prompt -> (T, 80) DAC latents (mu) at 50 Hz."""

@@ -31,13 +31,25 @@ class Executor:
         self.ckpt = ckpt
         self.save_per_step = save_per_step
         self.needs_key = needs_key
-        self.key = jax.random.PRNGKey(seed)
+        self.seed = seed
         self.put_batch = put_batch or (lambda b: b)
         self.timer = Timer()
+        # host-side mirror of state.step: reading the device scalar every
+        # step would force a sync + a device->host round trip per step
+        # (~28 ms each over a tunneled TPU) and serialize async dispatch
+        self._host_step = int(jax.device_get(state.step))
 
     @property
     def step(self) -> int:
-        return int(self.state.step)
+        return self._host_step
+
+    def _step_key(self, step: int) -> np.ndarray:
+        """Per-step PRNG key built on HOST (raw threefry uint32[2], the
+        layout jax.random.PRNGKey produces): no eager device dispatch per
+        step, and — unlike a split chain — deterministic across
+        checkpoint resume because it derives from the global step."""
+        return np.array([self.seed & 0xFFFFFFFF, step & 0xFFFFFFFF],
+                        dtype=np.uint32)
 
     def train_one_epoch(self, batches: Iterable[dict],
                         max_steps: Optional[int] = None):
@@ -50,11 +62,12 @@ class Executor:
                 continue
             with self.timer("step"):
                 if self.needs_key:
-                    self.key, sub = jax.random.split(self.key)
+                    sub = self._step_key(self._host_step)
                     self.state, metrics = self.step_fn(self.state, batch, sub)
                 else:
                     self.state, metrics = self.step_fn(self.state, batch)
-            step = self.step
+            self._host_step += 1
+            step = self._host_step
             if step % self.logger.log_interval == 0:
                 jax.block_until_ready(metrics)
                 metrics = {**metrics, **self.timer.snapshot_and_reset()}

@@ -65,6 +65,22 @@ def test_hifigan_log_mel_parity(rng):
     np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=1e-4)
 
 
+def test_hifigan_log_mel_np_matches_jnp(rng):
+    """The host-numpy twin (used by the data pipeline so extraction never
+    dispatches to the accelerator) must match the jnp version."""
+    for dur in (0.31, 0.7):
+        audio = synthetic_audio(rng, dur, sr=24000)
+        ours = jmel.hifigan_log_mel_np(audio)
+        ref = np.asarray(jmel.hifigan_log_mel(jnp.asarray(audio)))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+    # batched input path
+    batch = np.stack([synthetic_audio(rng, 0.5, sr=24000) for _ in range(2)])
+    ours = jmel.hifigan_log_mel_np(batch)
+    ref = np.asarray(jmel.hifigan_log_mel(jnp.asarray(batch)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_istft_roundtrip(rng):
     """istft must invert our stft (NOLA) like torch.istft does."""
     n_fft, hop = 16, 4
