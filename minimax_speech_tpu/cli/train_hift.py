@@ -18,7 +18,12 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--train_folders", nargs="+", required=True)
+    p.add_argument("--train_folders", nargs="+", default=None,
+                   help="raw wav folders (fixed-duration random crops)")
+    p.add_argument("--train_data", type=str, default=None,
+                   help="data list (one wav path per line, with .txt/_fsq "
+                        "sidecars): the reference's GAN dataset chain — "
+                        "truncate -> compute_fbank -> pitch -> padding")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--config", default="configs/default.yaml")
     p.add_argument("--override", action="append", default=[])
@@ -32,6 +37,8 @@ def main(argv=None):
     p.add_argument("--with_pitch", action="store_true",
                    help="add the f0 L1 loss with YIN targets")
     args = p.parse_args(argv)
+    if not args.train_folders and not args.train_data:
+        p.error("one of --train_folders / --train_data is required")
 
     import jax
     import jax.numpy as jnp
@@ -77,22 +84,58 @@ def main(argv=None):
     g_state, start = g_ckpt.restore(g_state)
     d_state, _ = d_ckpt.restore(d_state)
 
-    mel_fn = jax.jit(lambda a: mel_ops.hifigan_log_mel(a))
-    ds = AudioFolder(args.train_folders, duration=args.duration,
-                     sample_rate=sr, seed=start)
-    for i, audio in enumerate(ds.infinite_batches(args.batch_size)):
+    def folder_batches():
+        ds = AudioFolder(args.train_folders, duration=args.duration,
+                         sample_rate=sr, seed=start)
+        for audio in ds.infinite_batches(args.batch_size):
+            audio = audio[:, :n]
+            # host-side mel: a device mel would pay a D2H round trip/step
+            mel = mel_ops.hifigan_log_mel_np(audio).transpose(0, 2, 1)
+            batch = {"speech_feat": mel[:, :t_mel].astype(np.float32),
+                     "audio": audio}
+            if args.with_pitch:
+                pitch = np.stack([yin_f0(a, sr, hop)[:t_mel]
+                                  for a in audio])
+                batch["pitch"] = np.pad(
+                    pitch, ((0, 0), (0, t_mel - pitch.shape[1])))
+            yield batch
+
+    def list_batches():
+        """The reference's GAN dataset chain (config.yaml data_pipeline
+        stages + truncate/pitch, processor.py:304-322,401-428,677-687)."""
+        from minimax_speech_tpu.data import pipeline as dp
+        items = [{"src": line.strip()} for line in
+                 Path(args.train_data).read_text().splitlines()
+                 if line.strip()]
+        source = dp.DataList(items, process_index=jax.process_index(),
+                             process_count=jax.process_count())
+        stages = [
+            lambda it: dp.individual_file_opener(it, require_latent=False),
+            dp.filter_lengths,
+            lambda it: dp.resample(it, sr),
+            lambda it: dp.truncate(it, n),
+            dp.compute_fbank,
+        ]
+        if args.with_pitch:
+            stages.append(lambda it: dp.extract_pitch(it, sr, hop))
+        stages += [
+            lambda it: dp.shuffle(it, 1000),
+            lambda it: dp.static_batch(it, args.batch_size, drop_last=True),
+            lambda it: dp.padding_gan(it, hop),
+        ]
+        epoch = start
+        while True:
+            source.set_epoch(epoch)
+            yield from dp.build_dataset(source, stages)
+            epoch += 1
+
+    batches = list_batches() if args.train_data else folder_batches()
+    i = -1
+    for i, batch in enumerate(batches):
         step_i = start + i
         if step_i >= args.num_iters:
             break
-        audio = audio[:, :n]
-        mel = np.asarray(mel_fn(jnp.asarray(audio))).transpose(0, 2, 1)
-        mel = mel[:, :t_mel]
-        batch = {"speech_feat": jnp.asarray(mel),
-                 "audio": jnp.asarray(audio)}
-        if args.with_pitch:
-            pitch = np.stack([yin_f0(a, sr, hop)[:t_mel] for a in audio])
-            batch["pitch"] = jnp.asarray(
-                np.pad(pitch, ((0, 0), (0, t_mel - pitch.shape[1]))))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         k = jax.random.PRNGKey(step_i)
         d_state, dm = disc_step(d_state, g_state.params, batch, k)
         g_state, gm = gen_step(g_state, d_state.params, batch, k)

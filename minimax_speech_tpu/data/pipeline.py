@@ -66,18 +66,29 @@ class DataList:
             yield dict(item) if isinstance(item, dict) else {"src": item}
 
 
-def attach_sidecars(sample: dict, token_latent_ratio: int = 2
-                    ) -> Iterator[dict]:
+def attach_sidecars(sample: dict, token_latent_ratio: int = 2,
+                    require_latent: bool = True) -> Iterator[dict]:
     """Attach {<stem>.txt, <stem>_fsq.*, <stem>_latent2x.*} sidecar data
     to a sample that already carries decoded audio; skip-and-log on error
     (reference: processor.py:31-189; the reference expects the
-    `_latent2x.pt` suffix even though its README says `_latent.pt`)."""
+    `_latent2x.pt` suffix even though its README says `_latent.pt`).
+
+    require_latent=False (GAN/vocoder path): only text + FSQ tokens are
+    needed — compute_fbank clips mel to token length and the
+    discriminators never see latents."""
     try:
         stem = Path(sample["src"]).with_suffix("")
         txt = Path(str(stem) + ".txt")
         sample["text"] = txt.read_text().strip()
         tok = _load_array(str(stem) + "_fsq")
-        lat = _load_array(str(stem) + "_latent2x")
+        if require_latent:
+            lat = _load_array(str(stem) + "_latent2x")
+        else:
+            lat = None
+        if lat is None:
+            sample["speech_token"] = np.asarray(tok, np.int32)
+            yield sample
+            return
         if lat.ndim == 3:
             lat = lat[0]
         if lat.shape[0] == 80 and lat.shape[1] != 80:  # (80, T) -> (T, 80)
@@ -116,8 +127,8 @@ def _expand_src(src: str) -> Iterator[str]:
         yield src
 
 
-def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2
-                           ) -> Iterator[dict]:
+def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2,
+                           require_latent: bool = True) -> Iterator[dict]:
     """Read wav + sidecars per item (reference: processor.py:31-189;
     json-index / directory sources per inv_file_processor.py)."""
     for sample in data:
@@ -130,7 +141,8 @@ def individual_file_opener(data: Iterable[dict], token_latent_ratio: int = 2
                 continue
             item["audio"] = audio
             item["sample_rate"] = sr
-            yield from attach_sidecars(item, token_latent_ratio)
+            yield from attach_sidecars(item, token_latent_ratio,
+                                       require_latent=require_latent)
 
 
 def _load_array(stem: str) -> np.ndarray:
@@ -233,7 +245,10 @@ def filter_lengths(data, max_length: int = 40960, min_length: int = 100,
         frames = len(s["audio"]) / s["sample_rate"] * 100
         if not (min_length < frames < max_length):
             continue
-        if not (token_min_length <= len(s["text_token"]) <= token_max_length):
+        # GAN/vocoder chains run without tokenize(); text gates only apply
+        # when text tokens exist
+        if "text_token" in s and not (
+                token_min_length <= len(s["text_token"]) <= token_max_length):
             continue
         if len(s.get("speech_token", ())) == 0:
             continue
@@ -453,6 +468,32 @@ def _pad_reference_mels(batch, bucket_multiple: int,
     for i, s in enumerate(batch):
         ref[i, : rl[i]] = s["reference_mels"][0][: rl[i]]
     return {"reference_mel": ref, "reference_mel_len": rl}
+
+
+def padding_gan(batches, hop: int = 480) -> Iterator[dict]:
+    """GAN/vocoder-stage batch (reference: processor.py:677-687): mel
+    features + the frame-aligned waveform + optional per-frame pitch.
+
+    Upstream truncate() makes every sample the same length, so shapes are
+    static per batch; audio is cropped to t_mel*hop so the generator's
+    upsampled output aligns sample-for-sample with the target."""
+    for batch in batches:
+        feats = [s["speech_feat"] for s in batch]
+        t_mel = min(f.shape[0] for f in feats)
+        out = {
+            "speech_feat": np.stack([f[:t_mel] for f in feats]
+                                    ).astype(np.float32),
+            "audio": np.stack([s["audio"][: t_mel * hop] for s in batch]
+                              ).astype(np.float32),
+        }
+        if "pitch_feat" in batch[0]:
+            # yin_f0 emits 1+(n-frame_length)//hop frames (< t_mel at the
+            # tail); pad trailing frames as unvoiced (f0=0)
+            pitch = [s["pitch_feat"][:t_mel] for s in batch]
+            out["pitch"] = np.stack(
+                [np.pad(p, (0, t_mel - len(p))) for p in pitch]
+            ).astype(np.float32)
+        yield out
 
 
 def padding_llm(batches, mix_ratio=(5, 15), use_spk: bool = True,

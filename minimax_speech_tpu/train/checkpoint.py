@@ -47,6 +47,12 @@ class CheckpointManager:
     def save(self, step: int, state, extra: Optional[dict] = None):
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": np.asarray(step)}
+        if jax.process_count() > 1:
+            # all hosts enter the (collective) orbax save together — the
+            # dist.barrier the reference wraps around saving
+            # (reference: utils/executor.py:116-126)
+            from minimax_speech_tpu.utils.distributed import sync_hosts
+            sync_hosts(f"ckpt_save_{step}")
         try:
             self.mngr.save(step, args=ocp.args.StandardSave(payload))
         except Exception as e:

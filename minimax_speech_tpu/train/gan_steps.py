@@ -165,13 +165,15 @@ def make_hift_steps(generator, discriminator, mel_weight: float = 45.0,
             tpr = losses.tpr_loss(fake_s, real_s, tpr_tau)
             total = adv + feat_weight * feat + mel_weight * mel_l \
                 + tpr_weight * tpr
+            aux = {"gen/adv": adv, "gen/feat": feat,
+                   "gen/mel": mel_l, "gen/tpr": tpr}
             if "pitch" in batch:
                 f0 = generator.apply({"params": g_params},
                                      batch["speech_feat"],
                                      method=type(generator).predict_f0)
-                total = total + audio_losses.l1_loss(f0, batch["pitch"])
-            return total, {"gen/adv": adv, "gen/feat": feat,
-                           "gen/mel": mel_l, "gen/tpr": tpr}
+                aux["gen/f0"] = audio_losses.l1_loss(f0, batch["pitch"])
+                total = total + aux["gen/f0"]
+            return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             g_state.params)

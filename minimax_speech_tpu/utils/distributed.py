@@ -83,11 +83,3 @@ def uneven_join_batches(batches, round_size: int = 8):
         yield from buf[:agreed]
         if agreed < round_size:
             return
-
-
-def host_batch_slice(global_batch: int) -> slice:
-    """This host's slice of a globally-indexed batch (rank::world over
-    items is done in DataList; this is the contiguous alternative)."""
-    per = global_batch // jax.process_count()
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)

@@ -192,3 +192,33 @@ def test_filter_static_shapes_keeps_batches_full():
     out = list(dp.filter_static_shapes(
         iter([sample(10, 20), sample(10, 80)]), "flow", 64))
     assert len(out) == 1
+
+
+def test_gan_pipeline_chain(rng):
+    """The reference's GAN/vocoder dataset chain (processor.py:304-322
+    truncate, 401-428 compute_fbank, 677-687 gan padding): fixed-length
+    crops, mel clipped to token length, frame-aligned audio + pitch."""
+    hop, n = 480, 4800  # 0.2 s at 24 kHz
+    stages = [
+        dp.filter_lengths,
+        dp.resample,
+        lambda it: dp.truncate(it, n),
+        dp.compute_fbank,
+        lambda it: dp.extract_pitch(it, 24000, hop),
+        lambda it: dp.static_batch(it, 2, drop_last=True),
+        lambda it: dp.padding_gan(it, hop),
+    ]
+    batches = list(dp.build_dataset(synthetic_source(rng), stages))
+    assert batches
+    for b in batches:
+        bs, t_mel, n_mels = b["speech_feat"].shape
+        assert bs == 2 and n_mels == 80
+        # audio is cropped frame-aligned to the mel length
+        assert b["audio"].shape == (bs, t_mel * hop)
+        assert b["pitch"].shape == (bs, t_mel)
+        assert b["speech_feat"].dtype == np.float32
+    # mel content parity: recompute from the batch audio
+    from minimax_speech_tpu.ops import mel as mel_ops
+    b = batches[0]
+    want = mel_ops.hifigan_log_mel_np(b["audio"][0]).T[: b["speech_feat"].shape[1]]
+    np.testing.assert_allclose(b["speech_feat"][0], want, atol=2e-4, rtol=1e-3)

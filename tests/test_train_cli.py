@@ -95,6 +95,25 @@ def test_train_hift_cli_smoke(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_train_hift_cli_data_list(tmp_path, rng):
+    """HiFT GAN training over the reference's data-list chain
+    (truncate -> compute_fbank -> pitch -> padding_gan) instead of raw
+    folders (reference: config.yaml gan data_pipeline)."""
+    from minimax_speech_tpu.cli import train_hift
+    lst = make_corpus(tmp_path, rng, n=3)
+    model_dir = tmp_path / "exp_hift_list"
+    train_hift.main([
+        "--train_data", str(lst), "--model_dir", str(model_dir),
+        "--config", "configs/tiny.yaml", "--batch_size", "2",
+        "--duration", "0.2", "--num_iters", "2", "--save_iters", "2",
+        "--log_interval", "1", "--with_pitch",
+        "--override", "model.hift.base_channels=32"])
+    metrics = (model_dir / "hift_metrics.jsonl").read_text().splitlines()
+    row = json.loads(metrics[-1])
+    assert "gen/loss" in row and "gen/f0" in row and "disc/loss" in row
+
+
+@pytest.mark.slow
 def test_train_cli_dpo_epoch(tmp_path, rng):
     """DPO fine-tuning through the train CLI: reject sidecars -> _rej
     plans -> make_dpo_step, rewards logged (VERDICT round-1 item #6)."""
