@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "<stem>_fsq_reject sidecars; the frozen reference "
                         "policy is --ref_ckpt (default: --init_ckpt)")
     p.add_argument("--ref_ckpt", type=str, default=None)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches prepared ahead in a background thread "
+                        "(0 disables; overlaps host data prep with "
+                        "device steps)")
     p.add_argument("--export_npz", type=str, default=None,
                    help="also write final params as a flat .npz (the "
                         "interchange format the inference CLIs load)")
@@ -270,7 +274,8 @@ def main(argv=None):
     max_epoch = args.max_epoch or tcfg.get("max_epoch", 2000)
     for epoch in range(max_epoch):
         source.set_epoch(epoch)
-        batches = dp.build_dataset(source, stages)
+        batches = dp.prefetch(dp.build_dataset(source, stages),
+                              depth=args.prefetch)
         if multi_host:
             # uneven-workload join: yield only batches every host can
             # match step-for-step (reference: train_utils.py:285-304)

@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--augment", nargs="*", default=["Identity"])
     p.add_argument("--postprocess", nargs="*", default=["Identity"])
     p.add_argument("--augment_prob", type=float, default=0.0)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches prepared ahead in a background thread")
     p.add_argument("--export_npz", type=str, default=None,
                    help="also write final generator params as .npz")
     # loss-weight overrides (reference: dac-vae/configs/*.yml lambdas);
@@ -124,15 +126,25 @@ def main(argv=None):
     identity_only = (args.preprocess == args.augment == args.postprocess
                      == ["Identity"])
 
-    for i, audio in enumerate(ds.infinite_batches(args.batch_size)):
+    def prepped():
+        """Crop + (optional) transform per batch, prefetchable so host
+        data prep overlaps device steps."""
+        for i, audio in enumerate(ds.infinite_batches(args.batch_size)):
+            step_i = start + i
+            audio = audio[:, :n]
+            if not identity_only:  # transform batch (ref train.py:620-627)
+                sig = tfm(jax.random.PRNGKey(10_000_019 + step_i),
+                          AudioSignal(audio[:, None, :],
+                                      cfg.dac.sample_rate))
+                audio = np.asarray(sig.audio_data[:, 0, :])
+            yield i, audio
+
+    from minimax_speech_tpu.data import pipeline as dp
+    i = -1
+    for i, audio in dp.prefetch(prepped(), depth=args.prefetch):
         step_i = start + i
         if step_i >= args.num_iters:
             break
-        audio = audio[:, :n]
-        if not identity_only:  # transform batch (reference train.py:620-627)
-            sig = tfm(jax.random.PRNGKey(10_000_019 + step_i),
-                      AudioSignal(audio[:, None, :], cfg.dac.sample_rate))
-            audio = np.asarray(sig.audio_data[:, 0, :])
         batch = {"audio": jnp.asarray(audio)}
         k = jax.random.PRNGKey(step_i)
         # disc first, then gen (reference order, train.py:675-773)

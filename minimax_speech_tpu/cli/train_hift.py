@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--with_pitch", action="store_true",
                    help="add the f0 L1 loss with YIN targets")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches prepared ahead in a background thread")
     args = p.parse_args(argv)
     if not args.train_folders and not args.train_data:
         p.error("one of --train_folders / --train_data is required")
@@ -129,7 +131,10 @@ def main(argv=None):
             yield from dp.build_dataset(source, stages)
             epoch += 1
 
-    batches = list_batches() if args.train_data else folder_batches()
+    from minimax_speech_tpu.data import pipeline as dp
+    batches = dp.prefetch(
+        list_batches() if args.train_data else folder_batches(),
+        depth=args.prefetch)
     i = -1
     for i, batch in enumerate(batches):
         step_i = start + i

@@ -470,6 +470,60 @@ def _pad_reference_mels(batch, bucket_multiple: int,
     return {"reference_mel": ref, "reference_mel_len": rl}
 
 
+def prefetch(batches: Iterable, depth: int = 2) -> Iterator:
+    """Background-thread prefetch: overlap host-side batch prep (wav
+    decode, fbank, plan building) with device compute — the
+    torch-DataLoader-worker equivalent (reference: train_utils.py:150-168
+    builds loaders with prefetch=8 worker processes).
+
+    The producer thread runs the upstream generator chain; the consumer
+    (the train loop, and any collectives such as uneven_join_batches)
+    stays on the calling thread. Exceptions re-raise at the consumer;
+    closing the generator stops the producer promptly."""
+    import queue
+    import threading
+
+    if depth <= 0:
+        yield from batches
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for b in batches:
+                if not _put(b):
+                    return
+            _put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            _put(e)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
+
+
 def padding_gan(batches, hop: int = 480) -> Iterator[dict]:
     """GAN/vocoder-stage batch (reference: processor.py:677-687): mel
     features + the frame-aligned waveform + optional per-frame pitch.

@@ -194,6 +194,39 @@ def test_filter_static_shapes_keeps_batches_full():
     assert len(out) == 1
 
 
+def test_prefetch_order_and_exceptions():
+    """prefetch preserves order, delivers everything, re-raises producer
+    errors in the consumer, and stops its thread on early close."""
+    import threading
+
+    assert list(dp.prefetch(iter(range(20)), depth=3)) == list(range(20))
+    assert list(dp.prefetch(iter(range(5)), depth=0)) == list(range(5))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = dp.prefetch(boom(), depth=2)
+    assert next(it) == 1
+    try:
+        next(it)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # early close: consumer abandons mid-stream; no thread leaks
+    before = threading.active_count()
+    it = dp.prefetch(iter(range(1000)), depth=2)
+    assert next(it) == 0
+    it.close()
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
 def test_gan_pipeline_chain(rng):
     """The reference's GAN/vocoder dataset chain (processor.py:304-322
     truncate, 401-428 compute_fbank, 677-687 gan padding): fixed-length
