@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from minimax_speech_tpu.train.steps import TrainState
+from minimax_speech_tpu.train import steps
 from minimax_speech_tpu.utils import audio_losses, losses
 
 
@@ -85,7 +86,8 @@ def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
         def loss_fn(g_params):
             out = generator.apply({"params": g_params}, audio[..., None], key)
             fake = out["audio"][..., 0]
-            mel = audio_losses.mel_spectrogram_loss(fake, audio, sample_rate)
+            mel = audio_losses.mel_spectrogram_loss(fake, audio, sample_rate) \
+                if lambdas.mel else 0.0
             stft = audio_losses.multi_scale_stft_loss(fake, audio) \
                 if lambdas.stft else 0.0
             wav = audio_losses.l1_loss(fake, audio) if lambdas.waveform else 0.0
@@ -115,6 +117,12 @@ def make_dac_steps(generator, discriminator, lambdas: DACLambdas = DACLambdas(),
         g_state = g_state.apply_gradients(grads)
         metrics = {"gen/loss": loss,
                    "gen/grad_norm": optax.global_norm(grads), **aux}
+        # per-submodule grad norms (reference: dac-vae/train.py:385-489
+        # logs per-component norms to localize divergence)
+        metrics.update({f"gen/{k}": v for k, v in steps.
+                        grad_norms_by_component(grads, {
+                            "encoder_norm": "encoder",
+                            "decoder_norm": "decoder"}).items()})
         return g_state, metrics
 
     return gen_step, disc_step

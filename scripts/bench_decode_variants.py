@@ -140,12 +140,14 @@ def main():
     out = {}
     for kind in ("bare", "argmax", "topk", "pregen", "current"):
         fn = make_variant(cfg, model, variables, kind)
-        r = fn(jax.random.PRNGKey(1))
-        r.block_until_ready()  # compile
+        # device_get, not block_until_ready: on the axon tunnel the
+        # latter can return at dispatch-ack, before the computation has
+        # actually finished — only a D2H fetch is a trustworthy barrier.
+        jax.device_get(fn(jax.random.PRNGKey(1)))  # compile
         ts = []
         for i in range(5):
             t0 = time.perf_counter()
-            fn(jax.random.PRNGKey(i)).block_until_ready()
+            jax.device_get(fn(jax.random.PRNGKey(i)))
             ts.append(time.perf_counter() - t0)
         ms = 1e3 * float(np.median(ts)) / N_STEPS
         out[kind] = round(ms, 4)

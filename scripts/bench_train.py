@@ -47,16 +47,30 @@ def bench_llm(batch, seq, bf16=False, remat=False):
     b = {k: jnp.asarray(v) for k, v in b.items()}
 
     state, m = step(state, b)
-    jax.block_until_ready(m)
+    # Force REAL completion with a device->host fetch: on the axon tunnel
+    # backend block_until_ready can return after dispatch-ack, which made
+    # an earlier revision of this bench report a physically impossible
+    # 2.23M tokens/s (25x over the v5e 197-TFLOP bf16 ceiling for this
+    # model). Only a D2H of a value that data-depends on the whole chain
+    # is a trustworthy barrier.
+    jax.device_get(m["loss"])
     t0 = time.perf_counter()
     n = 10
     for _ in range(n):
         state, m = step(state, b)
-    jax.block_until_ready(m)
+    jax.device_get(m["loss"])  # depends on every prior step via `state`
     dt = (time.perf_counter() - t0) / n
     toks = batch * seq
-    print(f"llm train step: batch={batch} seq={seq} bf16={bf16} remat={remat} -> {dt * 1e3:.1f} ms/step,"
-          f" {toks / dt / 1e3:.1f}k tokens/s", flush=True)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    n_embed = cfg.qwen.vocab_size * cfg.qwen.hidden_size
+    flops = 6 * (n_params - n_embed) * toks  # fwd+bwd matmul FLOPs
+    peak = 197e12 if bf16 else 197e12 / 4  # v5e bf16 / fp32(6-pass) peak
+    print(f"llm train step: batch={batch} seq={seq} bf16={bf16} "
+          f"remat={remat} -> {dt * 1e3:.1f} ms/step, "
+          f"{toks / dt / 1e3:.1f}k tokens/s, "
+          f"MFU {flops / dt / peak * 100:.1f}% of "
+          f"{peak / 1e12:.0f} TFLOP/s", flush=True)
     return dt, toks
 
 
@@ -84,12 +98,12 @@ def bench_flow(batch, tokens):
          "feat_len": jnp.full((batch,), tokens * 2, np.int32),
          "embedding": jnp.zeros((batch, cfg.spk_embed_dim))}
     state, m = step(state, b, jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
+    jax.device_get(m["loss"])  # real completion barrier (see bench_llm)
     t0 = time.perf_counter()
     n = 10
     for _ in range(n):
         state, m = step(state, b, jax.random.PRNGKey(2))
-    jax.block_until_ready(m)
+    jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / n
     frames = batch * tokens * 2
     audio_s = frames / 50.0
