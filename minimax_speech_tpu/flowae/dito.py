@@ -22,6 +22,7 @@ from minimax_speech_tpu.flowae import fm as fm_lib
 from minimax_speech_tpu.flowae.consistency_unet import (ConsistencyUNet,
                                                         ConsistencyUNetConfig)
 from minimax_speech_tpu.flowae.dit import DiT1D, DiTConfig
+from minimax_speech_tpu.ops import safe_conv
 
 
 @dataclass(frozen=True)
@@ -52,8 +53,9 @@ class ConvEncoder(nn.Module):
         h = x
         ch = c.enc_channels
         for i, s in enumerate(c.enc_strides):
-            h = nn.Conv(ch, (2 * s,), strides=(s,), padding="SAME",
-                        name=f"down_{i}")(h)
+            h = safe_conv.SlicedConv(ch, (2 * s,), strides=(s,),
+                                     padding="SAME",
+                                     name=f"down_{i}")(h)
             h = nn.silu(nn.GroupNorm(num_groups=8, name=f"norm_{i}")(h))
             ch *= 2
         h = nn.Conv(2 * c.z_dim, (3,), padding="SAME", name="head")(h)

@@ -22,6 +22,7 @@ from minimax_speech_tpu.flowae.dito import ConvEncoder, DiToConfig
 from minimax_speech_tpu.models.discriminators import MSD
 from minimax_speech_tpu.train.steps import TrainState
 from minimax_speech_tpu.utils import audio_losses, losses
+from minimax_speech_tpu.ops import safe_conv
 
 
 @dataclass(frozen=True)
@@ -46,8 +47,8 @@ class ConvDecoder(nn.Module):
         h = nn.Conv(ch, (3,), padding="SAME", name="head")(z)
         for i, s in enumerate(reversed(c.enc_strides)):
             h = nn.silu(nn.GroupNorm(num_groups=8, name=f"norm_{i}")(h))
-            h = nn.ConvTranspose(ch // 2, (2 * s,), strides=(s,),
-                                 padding="SAME", name=f"up_{i}")(h)
+            h = safe_conv.ConvTranspose1dSafe(ch // 2, 2 * s, s,
+                                              name=f"up_{i}")(h)
             ch //= 2
         h = nn.Conv(c.in_channels, (7,), padding="SAME", name="out")(h)
         return jnp.tanh(h)

@@ -30,6 +30,7 @@ from minimax_speech_tpu.flowae.dit import DiT2D, DiTConfig
 from minimax_speech_tpu.flowae.trainer import ema_update
 from minimax_speech_tpu.flowae.zdm import normalize_latents
 from minimax_speech_tpu.train.steps import TrainState
+from minimax_speech_tpu.ops import safe_conv
 
 
 @dataclass(frozen=True)
@@ -61,7 +62,8 @@ class ConvEncoder2D(nn.Module):
         h = x
         ch = c.enc_channels
         for i, s in enumerate(c.enc_strides):
-            h = nn.Conv(ch, (2 * s, 2 * s), strides=(s, s), padding="SAME",
+            h = safe_conv.SlicedConv(ch, (2 * s, 2 * s), strides=(s, s),
+                                     padding="SAME",
                         name=f"down_{i}")(h)
             g = 8 if ch % 8 == 0 else 1
             h = nn.silu(nn.GroupNorm(num_groups=g, name=f"norm_{i}")(h))

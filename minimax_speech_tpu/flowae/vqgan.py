@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from minimax_speech_tpu.train.steps import TrainState
+from minimax_speech_tpu.ops import safe_conv
 
 
 # ---------------------------------------------------------------- quantizer
@@ -124,8 +125,9 @@ class VQGANEncoder(nn.Module):
             for j in range(c.num_res_blocks):
                 h = ResnetBlock(c.ch * m, name=f"down_{i}_block_{j}")(h)
             if i != len(c.ch_mult) - 1:
-                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2), padding=1,
-                            name=f"down_{i}_downsample")(h)
+                h = safe_conv.SlicedConv(h.shape[-1], (3, 3), strides=(2, 2),
+                                         padding=1,
+                                         name=f"down_{i}_downsample")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
         if c.attn_mid:
             h = AttnBlock(name="mid_attn")(h)
@@ -188,14 +190,15 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=1,
-                    name="conv0")(x)
+        h = safe_conv.SlicedConv(self.ndf, (4, 4), strides=(2, 2), padding=1,
+                                 name="conv0")(x)
         h = nn.leaky_relu(h, 0.2)
         for n in range(1, self.n_layers + 1):
             mult = min(2 ** n, 8)
             stride = 2 if n < self.n_layers else 1
-            h = nn.Conv(self.ndf * mult, (4, 4), strides=(stride, stride),
-                        padding=1, use_bias=False, name=f"conv{n}")(h)
+            h = safe_conv.SlicedConv(self.ndf * mult, (4, 4),
+                                     strides=(stride, stride), padding=1,
+                                     use_bias=False, name=f"conv{n}")(h)
             h = nn.leaky_relu(_gn(h, f"norm{n}"), 0.2)
         return nn.Conv(1, (4, 4), padding=1, name="conv_out")(h)
 

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from minimax_speech_tpu.ops import safe_conv
+
 
 @dataclass(frozen=True)
 class DACVAEConfig:
@@ -115,12 +117,13 @@ class WNConv(nn.Module):
         kernel = (g[None, None, :] / norm) * v
         b = self.param("bias", self.bias_init, (self.features,))
         # compute in the parameter dtype (bf16 params -> bf16 conv; raw
-        # lax.conv requires matching operand dtypes, unlike nn.Conv)
-        y = jax.lax.conv_general_dilated(
-            x.astype(kernel.dtype), kernel, window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"))
+        # lax.conv requires matching operand dtypes, unlike nn.Conv).
+        # strided convs go through the phase-packed safe formulation:
+        # the tunneled TPU backend miscompiles the reverse pass of
+        # strided/lhs-dilated conv chains (see ops/safe_conv.py)
+        y = safe_conv.strided_conv1d(
+            x.astype(kernel.dtype), kernel, self.stride,
+            (self.padding, self.padding), self.dilation)
         return y + b
 
 
@@ -154,14 +157,12 @@ class WNConvTranspose(nn.Module):
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
                         + 1e-12)
         w = (g[None, None, :] / norm) * v
-        w = jnp.flip(w, axis=0)  # correlate with the flipped kernel
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        k, p, op = self.kernel_size, self.padding, self.output_padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(w.dtype), w, window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p + op)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NWC", "WOI", "NWC"))
+        # subpixel safe formulation — the lhs-dilated conv's reverse
+        # pass is miscompiled on the tunneled TPU backend (safe_conv.py)
+        y = safe_conv.transpose_conv1d(
+            x.astype(w.dtype), w, self.stride, self.padding,
+            self.output_padding)
         return y + b
 
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minimax_speech_tpu.ops import mel as mel_ops
+from minimax_speech_tpu.ops import safe_conv
 
 BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
 LRELU = 0.1
@@ -54,10 +55,12 @@ class WNConv2d(nn.Module):
                         + 1e-12)
         kernel = (g / norm) * v
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=self.strides,
-            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # safe strided form: generator grads flow through this conv's
+        # input-vjp, which the tunneled TPU backend miscompiles for
+        # strided convs (see ops/safe_conv.py)
+        y = safe_conv.strided_conv2d(
+            x, kernel, self.strides,
+            ((self.padding[0],) * 2, (self.padding[1],) * 2))
         return y + b
 
 
@@ -142,8 +145,12 @@ class MSD(nn.Module):
                  (1024, 5, 1, 1, 2)]
         fmap = []
         for ch, k, s, groups, pad in specs:
-            h = nn.Conv(ch, (k,), strides=(s,), padding=[(pad, pad)],
+            # stride via slice: keeps the input-vjp free of lhs-dilated
+            # convs (see ops/safe_conv.py)
+            h = nn.Conv(ch, (k,), strides=(1,), padding=[(pad, pad)],
                         feature_group_count=min(groups, h.shape[-1]))(h)
+            if s > 1:
+                h = h[:, ::s]
             h = nn.leaky_relu(h, negative_slope=LRELU)
             fmap.append(h)
         h = nn.Conv(1, (3,), padding=[(1, 1)])(h)

@@ -22,6 +22,7 @@ import numpy as np
 
 from minimax_speech_tpu.models.dac_vae import Snake1d, WNConv, WNConvTranspose
 from minimax_speech_tpu.ops import mel as mel_ops
+from minimax_speech_tpu.ops import safe_conv
 
 
 @dataclass(frozen=True)
@@ -142,8 +143,9 @@ class HiFTGenerator(nn.Module):
             if u == 1:
                 downs.append(nn.Conv(ch, (1,)))
             else:
-                downs.append(nn.Conv(ch, (int(u) * 2,), strides=(int(u),),
-                                     padding=[(int(u) // 2, int(u) // 2)]))
+                downs.append(safe_conv.SlicedConv(
+                    ch, (int(u) * 2,), strides=(int(u),),
+                    padding=[(int(u) // 2, int(u) // 2)]))
             src_res.append(ResBlock(ch, k, tuple(d)))
         self.source_downs = downs
         self.source_resblocks = src_res
