@@ -81,9 +81,14 @@ def strided_conv1d(x, w, stride: int, padding, dilation: int = 1):
     t2 = max(-(-tpad // s), t_out + k2 - 1)
     xp = jnp.pad(xp, ((0, 0), (0, t2 * s - tpad), (0, 0)))
     xp = xp.reshape(b, t2, s * cin)  # [t', r*?] -> index s*t' + r
-    wp = jnp.zeros((k2, s, cin, cout), w.dtype)
-    for q in range(k):
-        wp = wp.at[int(dd[q]), int(rr[q])].set(w[q])
+    if dilation == 1:
+        # tap q sits at (q // s, q % s): a plain zero-pad + reshape
+        wp = jnp.pad(w, ((0, k2 * s - k), (0, 0), (0, 0)))
+        wp = wp.reshape(k2, s, cin, cout)
+    else:
+        wp = jnp.zeros((k2, s, cin, cout), w.dtype)
+        for q in range(k):
+            wp = wp.at[int(dd[q]), int(rr[q])].set(w[q])
     wp = wp.reshape(k2, s * cin, cout)
     y = jax.lax.conv_general_dilated(
         xp, wp, window_strides=(1,), padding=[(0, 0)],
@@ -149,9 +154,18 @@ def transpose_conv1d(x, w, stride: int, padding: int,
     pad_l = -dmin
     pad_r = max(0, (t2 - 1) + dmax - (t - 1))
     xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
-    wp = jnp.zeros((k2, cin, s, cout), w.dtype)
-    for q, r, d in taps:
-        wp = wp.at[d - dmin, :, r].set(w[k - 1 - q].T)
+    # the (q -> (d, r)) map is affine: q = (off - s + 1) + s*(d - ?) ...
+    # concretely wp[d, :, r] = wf[base + s*(d - dmin) + (s - 1 - r)] with
+    # wf = flip(w) and base = off - s + 1 + s*dmin, so the packing is a
+    # zero-pad + reshape + phase flip (no scatters — they were a large
+    # compile-time cost inside train graphs)
+    wf = jnp.flip(w, axis=0)  # wf[q] = w[k-1-q], shape (k, cout, cin)
+    base = off - s + 1 + s * dmin  # <= 0 by construction
+    lo = -base
+    hi = k2 * s - k - lo
+    wpk = jnp.pad(wf, ((lo, hi), (0, 0), (0, 0)))  # (k2*s, cout, cin)
+    wpk = wpk.reshape(k2, s, cout, cin)[:, ::-1]  # phase r = s-1-r'
+    wp = jnp.transpose(wpk, (0, 3, 1, 2))  # (k2, cin, s, cout)
     wp = wp.reshape(k2, cin, s * cout)
     y = jax.lax.conv_general_dilated(
         xp, wp, window_strides=(1,), padding=[(0, 0)],
@@ -230,12 +244,23 @@ class SlicedConv(nn.Module):
         else:
             pads = [tuple(p) if isinstance(p, (tuple, list)) else (p, p)
                     for p in self.padding]
+        # params live at THIS module's level with nn.Conv's names/shapes
+        # so converters and checkpoints are unaffected by the swap
+        in_ch = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       ks + (in_ch // self.feature_group_count,
+                             self.features))
+        dn = ("NWC", "WIO", "NWC") if len(ks) == 1 \
+            else ("NHWC", "HWIO", "NHWC")
         run_strides = ss if not SAFE_CONV else (1,) * len(ks)
-        y = nn.Conv(self.features, ks, strides=run_strides, padding=pads,
-                    use_bias=self.use_bias,
-                    feature_group_count=self.feature_group_count,
-                    name="conv")(x)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=run_strides, padding=pads,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=dn)
         if SAFE_CONV and any(s > 1 for s in ss):
             idx = (slice(None),) + tuple(slice(None, None, s) for s in ss)
             y = y[idx]
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,))
         return y
