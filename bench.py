@@ -43,7 +43,11 @@ def main():
     # decode is weight-bandwidth-bound, so int8 halves the bytes per step
     # again over bf16 (accuracy within 5% relative, tests/test_llm.py)
     import os
-    cfg = pl.TTSConfig(max_speech_tokens=GEN_TOKENS)
+    cfg = pl.TTSConfig(
+        max_speech_tokens=GEN_TOKENS,
+        # MSTPU_BF16_FLOW=1 A/Bs the bf16 flow stage (quality measured
+        # on trained weights by scripts/eval_bf16_flow.py)
+        bf16_flow=os.environ.get("MSTPU_BF16_FLOW", "0") not in ("", "0"))
     cfg.lm = dataclasses.replace(
         cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True),
         # MSTPU_PREGEN=1 A/Bs the pregenerated-noise decode (see

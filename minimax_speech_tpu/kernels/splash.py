@@ -43,8 +43,13 @@ def chunk_mask_dense(t: int, chunk: int, left_chunks: int) -> np.ndarray:
 @functools.lru_cache(maxsize=32)
 def _kernel(heads: int, t: int, chunk: int, left_chunks: int,
             interpret: bool):
-    mask = _sm.MultiHeadMask(
-        [_sm.NumpyMask(chunk_mask_dense(t, chunk, left_chunks))] * heads)
+    if chunk == 1 and left_chunks < 0:
+        # chunk size 1 with no left bound IS plain causal (k <= q); the
+        # lazy CausalMask skips the dense (T, T) numpy materialization
+        head_mask = _sm.CausalMask((t, t))
+    else:
+        head_mask = _sm.NumpyMask(chunk_mask_dense(t, chunk, left_chunks))
+    mask = _sm.MultiHeadMask([head_mask] * heads)
     return _sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1,
                                interpret=interpret)
 
@@ -72,3 +77,15 @@ def splash_chunk_attention(q, k, v, kv_len, chunk: int, left_chunks: int,
                       segment_ids=_sk.SegmentIds(q=si, kv=si))
 
     return jax.vmap(one)(q, k, v, seg)
+
+
+def splash_causal_attention(q, k, v, kv_len, scale: float | None = None,
+                            interpret: bool | None = None):
+    """Plain causal attention (k <= q) with per-sample padding via
+    segment ids. q, k, v: (B, H, T, D); kv_len: (B,). Differentiable —
+    this is the LM TRAINING attention (models/qwen2.py): it never
+    materializes the (B, H, T, T) fp32 score tensor the XLA fallback
+    does (224 MB/layer at batch 16 x seq 512), which is what forced
+    full-layer remat and capped training MFU."""
+    return splash_chunk_attention(q, k, v, kv_len, chunk=1, left_chunks=-1,
+                                  scale=scale, interpret=interpret)

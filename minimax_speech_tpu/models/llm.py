@@ -133,10 +133,10 @@ class SpeechLM(nn.Module):
         Returns (loss, accuracy)."""
         emb = self.embed_plan(src_type, tok_id, spk_emb)
         t = emb.shape[1]
-        pad = mask_ops.make_non_pad_mask(seq_len, t)
-        bias = qwen2.causal_bias(pad)
         positions = jnp.broadcast_to(jnp.arange(t)[None], src_type.shape)
-        hidden, _ = self.llm(emb, positions, bias)
+        # mask handled inside Qwen2Model: splash segment ids on TPU, or
+        # a causal+pad bias for the XLA fallback
+        hidden, _ = self.llm(emb, positions, None, lengths=seq_len)
         logits = self.llm_decoder(hidden)
         loss = losses.label_smoothing_ce(
             logits, target, self.cfg.lsm_weight,
@@ -148,10 +148,8 @@ class SpeechLM(nn.Module):
         """Sum log-prob of target tokens (for DPO)."""
         emb = self.embed_plan(src_type, tok_id, spk_emb)
         t = emb.shape[1]
-        pad = mask_ops.make_non_pad_mask(seq_len, t)
-        bias = qwen2.causal_bias(pad)
         positions = jnp.broadcast_to(jnp.arange(t)[None], src_type.shape)
-        hidden, _ = self.llm(emb, positions, bias)
+        hidden, _ = self.llm(emb, positions, None, lengths=seq_len)
         logp = jax.nn.log_softmax(
             self.llm_decoder(hidden).astype(jnp.float32), axis=-1)
         valid = target != IGNORE_ID

@@ -46,6 +46,11 @@ class Qwen2Config:
     # from HBM; weight-only int8 with bf16 activations makes XLA
     # materialize a dequantized weight copy, forfeiting the bandwidth win
     remat: bool = False      # jax.checkpoint each layer (training memory)
+    # training attention kernel: None = auto (splash on TPU when T is a
+    # multiple of 128), "splash" = force, "xla" = force the einsum path.
+    # The XLA fallback materializes (B, H, T, T) fp32 scores (224 MB per
+    # layer at batch 16 x seq 512) — splash never does, in either pass.
+    flash_train: Any = None
 
 
 class QuantDense(nn.Module):
@@ -150,10 +155,13 @@ class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None):
+    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None,
+                 lengths=None, use_splash=False):
         """x: (B, T, C); positions: (B, T) int32 true token positions;
-        attn_bias: (B, 1, T, K) additive; cache: optional (k, v) each
-        (B, max_len, n_kv, d) for THIS layer. Returns (out, new_cache)."""
+        attn_bias: (B, 1, T, K) additive (None under splash); cache:
+        optional (k, v) each (B, max_len, n_kv, d) for THIS layer;
+        lengths: (B,) true lengths (splash padding via segment ids).
+        Returns (out, new_cache)."""
         c = self.cfg
         b, t, _ = x.shape
         h, kvh, d = c.n_heads, c.n_kv_heads, c.head_dim
@@ -196,6 +204,17 @@ class Qwen2Attention(nn.Module):
         rep = h // kvh
         keys_r = jnp.repeat(keys, rep, axis=2)
         values_r = jnp.repeat(values, rep, axis=2)
+        if use_splash:
+            # fused fwd+bwd kernel: causal + per-sample padding, no
+            # (B, H, T, T) score tensor in HBM (training path only)
+            from minimax_speech_tpu.kernels.splash import \
+                splash_causal_attention
+            o = splash_causal_attention(
+                q.transpose(0, 2, 1, 3), keys_r.transpose(0, 2, 1, 3),
+                values_r.transpose(0, 2, 1, 3), lengths,
+                scale=1.0 / np.sqrt(d))
+            o = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+            return _dense(c, c.hidden_size, False, "o_proj")(o), new_cache
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys_r) / np.sqrt(d)
         scores = scores.astype(jnp.float32) + attn_bias
         w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
@@ -219,13 +238,36 @@ class Qwen2Layer(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None):
+    def __call__(self, x, positions, attn_bias, cache=None, cache_offset=None,
+                 lengths=None, use_splash=False):
         h = RMSNorm(self.cfg.rms_eps, name="input_layernorm")(x)
         a, new_cache = Qwen2Attention(self.cfg, name="self_attn")(
-            h, positions, attn_bias, cache, cache_offset)
+            h, positions, attn_bias, cache, cache_offset, lengths, use_splash)
         x = x + a
         h = RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x)
         return x + Qwen2MLP(self.cfg, name="mlp")(h), new_cache
+
+
+def _use_splash_train(cfg: Qwen2Config, t: int) -> bool:
+    """Static choice of the training attention kernel (see
+    Qwen2Config.flash_train). Splash needs T % 128 == 0; auto avoids it
+    on CPU where the kernel only runs interpreted."""
+    mode = cfg.flash_train
+    if mode in (False, "xla"):
+        return False
+    if t % 128 != 0 or t < 128:
+        return False
+    if mode in (True, "splash"):
+        return True
+    try:
+        # auto: single-device TPU processes only — under a multi-device
+        # mesh a Pallas call has no GSPMD partitioning rule, so XLA
+        # would replicate it (correct but slow); mesh users opt in with
+        # flash_train="splash" under shard_map if they want it
+        return (jax.default_backend() != "cpu"
+                and jax.device_count() == 1)
+    except Exception:  # pragma: no cover - backend probe never fatal
+        return False
 
 
 class Qwen2Model(nn.Module):
@@ -235,21 +277,37 @@ class Qwen2Model(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, attn_bias,
-                 cache=None, cache_offset=None):
-        """cache: optional (k, v) each (n_layers, B, max_len, n_kv, d)."""
+                 cache=None, cache_offset=None, lengths=None):
+        """cache: optional (k, v) each (n_layers, B, max_len, n_kv, d);
+        lengths: (B,) true lengths — when given on the cache-less
+        (training) path with attn_bias=None, the attention mask is
+        handled here (splash segment ids, or a causal+pad bias built
+        once for the XLA fallback)."""
         x = inputs_embeds
+        use_splash = (cache is None and lengths is not None
+                      and _use_splash_train(self.cfg,
+                                            inputs_embeds.shape[1]))
+        if attn_bias is None and not use_splash:
+            if lengths is None:
+                raise ValueError("need attn_bias or lengths")
+            t = inputs_embeds.shape[1]
+            pad = jnp.arange(t)[None, :] < lengths[:, None]
+            attn_bias = causal_bias(pad)
+        if use_splash:
+            attn_bias = None  # never materialize the (B,1,T,T) bias
         new_k, new_v = [], []
         # remat trades recompute for activation memory on the training
         # path (no cache); decode keeps the plain layer
         layer_cls = Qwen2Layer
         if self.cfg.remat and cache is None:
-            layer_cls = nn.remat(Qwen2Layer, static_argnums=(4, 5))
+            layer_cls = nn.remat(Qwen2Layer, static_argnums=(4, 5, 7))
         for i in range(self.cfg.n_layers):
             layer_cache = None
             if cache is not None:
                 layer_cache = (cache[0][i], cache[1][i])
             x, nc = layer_cls(self.cfg, name=f"layers_{i}")(
-                x, positions, attn_bias, layer_cache, cache_offset)
+                x, positions, attn_bias, layer_cache, cache_offset,
+                lengths, use_splash)
             if nc is not None:
                 new_k.append(nc[0])
                 new_v.append(nc[1])

@@ -300,3 +300,49 @@ def test_int8_quantized_qwen_matches_fp32(rng, act_quant):
     rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < (0.08 if act_quant else 0.05), \
         f"int8 relative error {rel}"
+
+
+def test_lm_splash_train_matches_xla(rng):
+    """The splash training attention (flash_train='splash') must match
+    the XLA causal+pad-bias path in loss AND gradients (interpret mode
+    on CPU). Padded positions are excluded: the two paths differ only
+    in what pad queries see (segment-isolated vs causal), which never
+    reaches the loss."""
+    import dataclasses
+    from minimax_speech_tpu.kernels import splash
+
+    cfg = qwen2.Qwen2Config(vocab_size=50, hidden_size=128, n_layers=2,
+                            n_heads=2, n_kv_heads=1, head_dim=64,
+                            intermediate_size=96)
+    b, t = 2, 128
+    model = qwen2.Qwen2Model(cfg)
+    x = jnp.asarray(rng.standard_normal((b, t, 128)).astype(np.float32)
+                    * 0.3)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    lengths = jnp.array([t, 90], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, positions, None,
+                        lengths=lengths)
+    valid = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    def make_loss(m):
+        def loss(p):
+            out, _ = m.apply(p, x, positions, None, lengths=lengths)
+            return jnp.sum(jnp.square(out) * valid[..., None]) / jnp.sum(valid)
+        return loss
+
+    golden, ggrad = jax.value_and_grad(make_loss(model))(params)
+
+    splash_model = qwen2.Qwen2Model(
+        dataclasses.replace(cfg, flash_train="splash"))
+    splash._INTERPRET = True
+    try:
+        ours, ograd = jax.value_and_grad(make_loss(splash_model))(params)
+    finally:
+        splash._INTERPRET = False
+
+    np.testing.assert_allclose(float(ours), float(golden), rtol=2e-5)
+    flat_g = jax.tree.leaves(ggrad)
+    flat_o = jax.tree.leaves(ograd)
+    for a, o in zip(flat_g, flat_o):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(a),
+                                   atol=3e-5, rtol=2e-3)
