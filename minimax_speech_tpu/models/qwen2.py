@@ -46,6 +46,12 @@ class Qwen2Config:
     # from HBM; weight-only int8 with bf16 activations makes XLA
     # materialize a dequantized weight copy, forfeiting the bandwidth win
     remat: bool = False      # jax.checkpoint each layer (training memory)
+    # what the per-layer checkpoint may keep: "none" recomputes the whole
+    # layer in the backward pass (minimum memory); "dots" keeps weight-
+    # matmul outputs (no batch-dim dots, i.e. not attention scores) so the
+    # backward pass skips recomputing the MXU-heavy projections — the
+    # usual transformer sweet spot when activations fit
+    remat_policy: str = "none"
     # training attention kernel: None = auto (splash on TPU when T is a
     # multiple of 128), "splash" = force, "xla" = force the einsum path.
     # The XLA fallback materializes (B, H, T, T) fp32 scores (224 MB per
@@ -300,7 +306,12 @@ class Qwen2Model(nn.Module):
         # path (no cache); decode keeps the plain layer
         layer_cls = Qwen2Layer
         if self.cfg.remat and cache is None:
-            layer_cls = nn.remat(Qwen2Layer, static_argnums=(4, 5, 7))
+            policy = None
+            if self.cfg.remat_policy == "dots":
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable)
+            layer_cls = nn.remat(Qwen2Layer, static_argnums=(4, 5, 7),
+                                 policy=policy)
         for i in range(self.cfg.n_layers):
             layer_cache = None
             if cache is not None:

@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np
 
 
-def bench_llm(batch, seq, bf16=False, remat=False):
+def bench_llm(batch, seq, bf16=False, remat=False, remat_policy="none"):
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +28,8 @@ def bench_llm(batch, seq, bf16=False, remat=False):
     cfg = llm_mod.LMConfig()
     if remat:
         cfg = dataclasses.replace(
-            cfg, qwen=dataclasses.replace(cfg.qwen, remat=True))
+            cfg, qwen=dataclasses.replace(cfg.qwen, remat=True,
+                                          remat_policy=remat_policy))
     model = llm_mod.SpeechLM(cfg)
     variables = jax.jit(llm_mod.init_lm_variables,
                         static_argnums=0)(model, jax.random.PRNGKey(0))
@@ -120,9 +121,12 @@ def main():
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", default="none",
+                   choices=["none", "dots"])
     args = p.parse_args()
     if args.stage in ("llm", "both"):
-        bench_llm(args.batch, args.seq, args.bf16, args.remat)
+        bench_llm(args.batch, args.seq, args.bf16, args.remat,
+                  args.remat_policy)
     if args.stage in ("flow", "both"):
         bench_flow(args.batch, 250)
 

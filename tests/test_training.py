@@ -206,3 +206,33 @@ def test_checkpoint_failures_nonfatal(rng, tmp_path, monkeypatch):
     state2 = steps.make_train_state(variables["params"], tx)
     state2, restored = ckpt2.restore(state2)
     assert restored in (1, 3)    # never crashes, lands on a good step
+
+
+def test_remat_policy_value_parity(rng):
+    """remat and its checkpoint policy change memory/compute, not values:
+    loss and grads must be bit-comparable across none/full/dots."""
+    import dataclasses
+
+    batch = lm_batch(rng)
+    results = {}
+    for name, (remat, policy) in {
+        "plain": (False, "none"),
+        "full": (True, "none"),
+        "dots": (True, "dots"),
+    }.items():
+        cfg = dataclasses.replace(
+            SMALL_LM, qwen=dataclasses.replace(
+                SMALL_LM.qwen, remat=remat, remat_policy=policy))
+        model = llm_mod.SpeechLM(cfg)
+        variables = llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
+        tx = schedule.make_optimizer(lr=3e-3, warmup_steps=1)
+        state = steps.make_train_state(variables["params"], tx)
+        step = steps.jit_step(steps.make_lm_train_step(model))
+        _, metrics = step(state, batch)
+        results[name] = (float(metrics["loss"]),
+                         float(metrics["grad_norm/llm"]))
+    for name in ("full", "dots"):
+        np.testing.assert_allclose(results[name][0], results["plain"][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(results[name][1], results["plain"][1],
+                                   rtol=1e-4)
