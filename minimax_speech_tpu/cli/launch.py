@@ -109,9 +109,13 @@ def run_elastic(module: str, worker_args: list[str], nproc: int,
             procs = spawn_gang(module, worker_args, nproc, port, attempt,
                                platform, logd, coordinator_host)
             if state_file:
-                Path(state_file).write_text(json.dumps(
+                # tmp+rename so concurrent pollers never observe a
+                # partially-written file (rename is atomic on POSIX)
+                tmp = Path(state_file).with_suffix(".tmp")
+                tmp.write_text(json.dumps(
                     {"attempt": attempt, "port": port,
                      "pids": [p.pid for p in procs]}))
+                tmp.replace(state_file)
             print(f"[launch] attempt {attempt}: {nproc} ranks on "
                   f"port {port} (logs: {logd})", flush=True)
             failed = None

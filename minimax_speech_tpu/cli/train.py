@@ -152,6 +152,12 @@ def main(argv=None):
     if args.dp is not None:
         devices = devices[: args.dp * args.tp]
     mesh = mesh_lib.make_mesh(dp=args.dp, tp=args.tp, devices=devices)
+    if mesh.size > 1:
+        # splash attention runs per-device under shard_map on this mesh
+        # (kernels/splash.py); without this, auto mode would fall back
+        # to the XLA path that materializes (B, H, T, T) fp32 scores
+        from minimax_speech_tpu.kernels import splash as splash_lib
+        splash_lib.set_attention_mesh(mesh)
     tokenizer = get_tokenizer(args.tokenizer_path)
 
     key = jax.random.PRNGKey(1986)

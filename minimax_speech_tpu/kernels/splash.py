@@ -50,33 +50,89 @@ def _kernel(heads: int, t: int, chunk: int, left_chunks: int,
     else:
         head_mask = _sm.NumpyMask(chunk_mask_dense(t, chunk, left_chunks))
     mask = _sm.MultiHeadMask([head_mask] * heads)
-    return _sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1,
-                               interpret=interpret)
+    # the mask-info constants make_splash_mha bakes in must be CONCRETE
+    # arrays: built lazily inside a jit trace they would be tracers, and
+    # the lru_cache would leak them into later traces
+    with jax.ensure_compile_time_eval():
+        return _sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1,
+                                   interpret=interpret)
 
 
 # tests set this True so the kernel runs (slowly) on CPU
 _INTERPRET = False
+
+# Optional device mesh for SHARDED training: a Pallas call has no GSPMD
+# partitioning rule, so under a multi-device mesh XLA would replicate it
+# (correct but slow). When the train harness registers its mesh here
+# (cli/train.py, __graft_entry__.dryrun_multichip), the splash call runs
+# under shard_map — batch over dp, heads over tp — and each device
+# executes the kernel on its local block; attention is embarrassingly
+# parallel over (batch, heads), so no collectives are needed inside.
+_MESH = None
+
+
+def set_attention_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh splash attention shards
+    over. Idempotent; call before tracing the train step."""
+    global _MESH
+    _MESH = mesh
+
+
+def _block_specs(mesh, b: int, h: int):
+    """(qkv, lengths) PartitionSpecs: batch over dp and heads over tp,
+    each only when divisible (shard_map requires exact divisibility)."""
+    from jax.sharding import PartitionSpec as P
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    bax = "dp" if dp > 1 and b % dp == 0 else None
+    hax = "tp" if tp > 1 and h % tp == 0 else None
+    return P(bax, hax, None, None), P(bax)
 
 
 def splash_chunk_attention(q, k, v, kv_len, chunk: int, left_chunks: int,
                            scale: float | None = None,
                            interpret: bool | None = None):
     """q, k, v: (B, H, T, D); kv_len: (B,) true lengths (pad masked via
-    segment ids). Returns (B, H, T, D). Differentiable."""
+    segment ids). Returns (B, H, T, D). Differentiable. Under a
+    registered mesh (set_attention_mesh) the kernel runs per-device via
+    shard_map."""
     b, h, t, d = q.shape
     scale = scale if scale is not None else 1.0 / np.sqrt(d)
     interpret = _INTERPRET if interpret is None else interpret
-    kernel = _kernel(h, t, int(chunk), int(left_chunks), interpret)
     # splash applies no internal scaling; fold it into q
     q = (q * scale).astype(q.dtype)
     # valid tokens -> segment 0, pads -> segment 1 (pads only see pads)
     seg = (jnp.arange(t)[None, :] >= kv_len[:, None]).astype(jnp.int32)
 
-    def one(qi, ki, vi, si):
-        return kernel(qi, ki, vi,
-                      segment_ids=_sk.SegmentIds(q=si, kv=si))
+    def batched(kernel):
+        def f(qb, kb, vb, sb):
+            def one(qi, ki, vi, si):
+                return kernel(qi, ki, vi,
+                              segment_ids=_sk.SegmentIds(q=si, kv=si))
 
-    return jax.vmap(one)(q, k, v, seg)
+            return jax.vmap(one)(qb, kb, vb, sb)
+        return f
+
+    mesh = _MESH
+    if mesh is not None and mesh.size > 1:
+        qspec, lspec = _block_specs(mesh, b, h)
+        # heads are a LOCAL shard inside shard_map; the kernel must be
+        # built OUTSIDE the mapped function (make_splash_mha creates
+        # mask-info constants that would leak as tracers if first built
+        # inside the shard_map trace and memoized by the lru_cache)
+        h_local = h // mesh.shape["tp"] if qspec[1] == "tp" else h
+        kernel = _kernel(h_local, t, int(chunk), int(left_chunks),
+                         interpret)
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            batched(kernel), mesh=mesh,
+            in_specs=(qspec, qspec, qspec, P(qspec[0], None)),
+            out_specs=qspec,
+            # pallas_call carries no varying-manual-axes info; skip the
+            # replication check (outputs are fully determined per-shard)
+            check_vma=False)(q, k, v, seg)
+    kernel = _kernel(h, t, int(chunk), int(left_chunks), interpret)
+    return batched(kernel)(q, k, v, seg)
 
 
 def splash_causal_attention(q, k, v, kv_len, scale: float | None = None,

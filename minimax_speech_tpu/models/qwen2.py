@@ -266,12 +266,15 @@ def _use_splash_train(cfg: Qwen2Config, t: int) -> bool:
     if mode in (True, "splash"):
         return True
     try:
-        # auto: single-device TPU processes only — under a multi-device
-        # mesh a Pallas call has no GSPMD partitioning rule, so XLA
-        # would replicate it (correct but slow); mesh users opt in with
-        # flash_train="splash" under shard_map if they want it
+        # auto: on TPU, single-device always; multi-device when the
+        # train harness has registered its mesh (kernels/splash then
+        # runs the kernel per-device under shard_map — without a mesh a
+        # Pallas call has no GSPMD partitioning rule and XLA would
+        # replicate it, correct but slow)
+        from minimax_speech_tpu.kernels import splash as _splash
         return (jax.default_backend() != "cpu"
-                and jax.device_count() == 1)
+                and (jax.device_count() == 1
+                     or _splash._MESH is not None))
     except Exception:  # pragma: no cover - backend probe never fatal
         return False
 
@@ -306,6 +309,12 @@ class Qwen2Model(nn.Module):
         # path (no cache); decode keeps the plain layer
         layer_cls = Qwen2Layer
         if self.cfg.remat and cache is None:
+            if self.cfg.remat_policy not in ("none", "dots"):
+                # a typo ("dot") silently behaving as full recompute would
+                # invalidate throughput A/Bs — fail loudly instead
+                raise ValueError(
+                    f"remat_policy={self.cfg.remat_policy!r} not in "
+                    "{'none', 'dots'}")
             policy = None
             if self.cfg.remat_policy == "dots":
                 policy = (jax.checkpoint_policies

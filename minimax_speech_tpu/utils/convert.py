@@ -451,3 +451,122 @@ def matcha_text_encoder_params(state: dict, n_layers: int = 6,
                "norm_2": ln("proj_w.norm_2"),
                "proj": dense1x1("proj_w.proj")}
     return p
+
+
+# ---------------------------------------------------------------------------
+# Legacy CosyVoice1 flow: MaskedDiffWithXvec
+# ---------------------------------------------------------------------------
+
+def _noncausal_block_params(state: dict, prefix: str) -> dict:
+    """matcha Block1D: block.0 conv(k3), block.1 GroupNorm
+    (reference: matcha/models/components/decoder.py:30-41)."""
+    return {
+        "conv": {"kernel": _conv(state[prefix + "block.0.weight"]),
+                 "bias": state[prefix + "block.0.bias"]},
+        "norm": {"scale": state[prefix + "block.1.weight"],
+                 "bias": state[prefix + "block.1.bias"]},
+    }
+
+
+def _noncausal_resnet_params(state: dict, prefix: str) -> dict:
+    return {
+        "block1": _noncausal_block_params(state, prefix + "block1."),
+        "block2": _noncausal_block_params(state, prefix + "block2."),
+        "mlp": {"kernel": _dw(state[prefix + "mlp.1.weight"]),
+                "bias": state[prefix + "mlp.1.bias"]},
+        "res_conv": {"kernel": state[prefix + "res_conv.weight"][:, :, 0].T,
+                     "bias": state[prefix + "res_conv.bias"]},
+    }
+
+
+def legacy_flow_params(state: dict, cfg) -> dict:
+    """Reference MaskedDiffWithXvec state_dict -> models/legacy_flow
+    params (reference: speech/cosyvoice/flow/flow.py:25-198 with the
+    non-causal ConditionalDecoder, flow/decoder.py:88-294)."""
+    state = strip_prefix(state)
+    p: dict = {}
+    p["input_embedding"] = {"embedding": state["input_embedding.weight"]}
+    p["spk_embed_affine_layer"] = {
+        "kernel": _dw(state["spk_embed_affine_layer.weight"]),
+        "bias": state["spk_embed_affine_layer.bias"]}
+    p["encoder_proj"] = {"kernel": _dw(state["encoder_proj.weight"]),
+                         "bias": state["encoder_proj.bias"]}
+
+    enc: dict = {}
+    e = "encoder."
+    enc["embed_linear"] = {"kernel": _dw(state[e + "embed.out.0.weight"]),
+                           "bias": state[e + "embed.out.0.bias"]}
+    enc["embed_norm"] = {"scale": state[e + "embed.out.1.weight"],
+                         "bias": state[e + "embed.out.1.bias"]}
+    for i in range(cfg.encoder.num_blocks):
+        enc[f"layers_{i}"] = _conformer_layer_params(
+            state, f"{e}encoders.{i}.")
+    enc["after_norm"] = {"scale": state[e + "after_norm.weight"],
+                         "bias": state[e + "after_norm.bias"]}
+    p["encoder"] = enc
+
+    reg: dict = {}
+    n_stages = len(cfg.regulator_ratios)
+    for i in range(n_stages):
+        reg[f"conv_{i}"] = {
+            "kernel": _conv(state[f"length_regulator.model.{3 * i}.weight"]),
+            "bias": state[f"length_regulator.model.{3 * i}.bias"]}
+        reg[f"norm_{i}"] = {
+            "scale": state[f"length_regulator.model.{3 * i + 1}.weight"],
+            "bias": state[f"length_regulator.model.{3 * i + 1}.bias"]}
+    reg["out_proj"] = {
+        "kernel": state[f"length_regulator.model.{3 * n_stages}.weight"
+                        ][:, :, 0].T,
+        "bias": state[f"length_regulator.model.{3 * n_stages}.bias"]}
+    p["length_regulator"] = reg
+
+    est: dict = {}
+    d = "decoder.estimator."
+    est["time_mlp"] = {
+        "linear_1": {"kernel": _dw(state[d + "time_mlp.linear_1.weight"]),
+                     "bias": state[d + "time_mlp.linear_1.bias"]},
+        "linear_2": {"kernel": _dw(state[d + "time_mlp.linear_2.weight"]),
+                     "bias": state[d + "time_mlp.linear_2.bias"]}}
+    n_down = len(cfg.unet.channels)
+    for i in range(n_down):
+        pre = f"{d}down_blocks.{i}."
+        est[f"down_{i}_resnet"] = _noncausal_resnet_params(state, pre + "0.")
+        for j in range(cfg.unet.n_blocks):
+            est[f"down_{i}_tf_{j}"] = _unet_tf_block_params(
+                state, pre + f"1.{j}.")
+        if i != n_down - 1:   # Downsample1D wraps its conv in `.conv`
+            est[f"down_{i}_conv"] = {
+                "kernel": _conv(state[pre + "2.conv.weight"]),
+                "bias": state[pre + "2.conv.bias"]}
+        else:
+            est[f"down_{i}_conv"] = {
+                "kernel": _conv(state[pre + "2.weight"]),
+                "bias": state[pre + "2.bias"]}
+    for i in range(cfg.unet.num_mid_blocks):
+        pre = f"{d}mid_blocks.{i}."
+        est[f"mid_{i}_resnet"] = _noncausal_resnet_params(state, pre + "0.")
+        for j in range(cfg.unet.n_blocks):
+            est[f"mid_{i}_tf_{j}"] = _unet_tf_block_params(
+                state, pre + f"1.{j}.")
+    n_up = n_down  # up path mirrors (channels[::-1] + (channels[0],))
+    for i in range(n_up):
+        pre = f"{d}up_blocks.{i}."
+        est[f"up_{i}_resnet"] = _noncausal_resnet_params(state, pre + "0.")
+        for j in range(cfg.unet.n_blocks):
+            est[f"up_{i}_tf_{j}"] = _unet_tf_block_params(
+                state, pre + f"1.{j}.")
+        if i != n_up - 1:     # Upsample1D(use_conv_transpose): `.conv`
+            # torch ConvTranspose1d weight (in, out, k) -> (k, out, in)
+            est[f"up_{i}_conv"] = {
+                "kernel": state[pre + "2.conv.weight"].transpose(2, 1, 0),
+                "bias": state[pre + "2.conv.bias"]}
+        else:
+            est[f"up_{i}_conv"] = {
+                "kernel": _conv(state[pre + "2.weight"]),
+                "bias": state[pre + "2.bias"]}
+    est["final_block"] = _noncausal_block_params(state, d + "final_block.")
+    est["final_proj"] = {
+        "kernel": state[d + "final_proj.weight"][:, :, 0].T,
+        "bias": state[d + "final_proj.bias"]}
+    p["estimator"] = est
+    return {"params": p}

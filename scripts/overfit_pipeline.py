@@ -41,7 +41,30 @@ def _segment_notes(rng: np.random.Generator, n_notes: int) -> np.ndarray:
     return rng.integers(0, len(_NOTES), size=n_notes)
 
 
-def _synth(note_idx: np.ndarray, seconds: float, sr: int) -> np.ndarray:
+def _speaker_profile(s: int, n_speakers: int) -> dict | None:
+    """Deterministic per-speaker voice signature for the multi-speaker
+    zero-shot corpus: distinct pitch register (transposition), harmonic
+    recipe (spectral tilt + even-harmonic emphasis ~ formant character)
+    and vibrato. Speaker identity must be recoverable from a SHORT
+    prompt, because zero-shot inference conditions the LM/flow on the
+    re-tokenized prompt + speaker embedding only."""
+    if n_speakers <= 1:
+        return None
+    ratio = 2.0 ** ((s - (n_speakers - 1) / 2) / 4.0)
+    alpha = (0.35, 0.55, 0.75, 0.95)[s % 4]     # harmonic decay
+    tilt = 1.6 if (s // 4) % 2 else 0.6          # even-harmonic emphasis
+    raw = [alpha ** h * (tilt if (h + 1) % 2 == 0 else 1.0)
+           for h in range(4)]
+    tot = sum(raw)
+    # normalized to the legacy voice's total amplitude (1.04)
+    harmonics = tuple((h + 1, 1.04 * a / tot) for h, a in enumerate(raw))
+    return {"ratio": ratio, "harmonics": harmonics,
+            "vib_rate": 3.5 + 0.9 * s,
+            "vib_depth": (0.0, 0.012, 0.02)[s % 3]}
+
+
+def _synth(note_idx: np.ndarray, seconds: float, sr: int,
+           profile: dict | None = None) -> np.ndarray:
     """Deterministic closed-form melody (same content at ANY sample rate,
     so 16 kHz prompts are exact, not resampled)."""
     n = int(round(seconds * sr))
@@ -49,9 +72,16 @@ def _synth(note_idx: np.ndarray, seconds: float, sr: int) -> np.ndarray:
     per = seconds / len(note_idx)
     f0 = _NOTES[note_idx[np.minimum((t / per).astype(int),
                                     len(note_idx) - 1)]]
+    harmonics = _HARMONICS
+    if profile is not None:
+        f0 = f0 * profile["ratio"]
+        if profile["vib_depth"]:
+            f0 = f0 * (1.0 + profile["vib_depth"]
+                       * np.sin(2 * np.pi * profile["vib_rate"] * t))
+        harmonics = profile["harmonics"]
     phase = 2 * np.pi * np.cumsum(f0) / sr
     x = np.zeros(n)
-    for h, a in _HARMONICS:
+    for h, a in harmonics:
         x += a * np.sin(h * phase)
     # soft attack/release so segment boundaries aren't clicks
     env = np.minimum(1.0, np.minimum(t, seconds - t) / 0.02)
@@ -82,32 +112,61 @@ def _write_wav(path: Path, audio: np.ndarray, sr: int):
 
 
 def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
-                sr: int = 24000, seed: int = 7, n_notes: int = 6) -> dict:
-    """Each utterance = concat(segment A, segment B) of one shared voice,
-    so a zero-shot call (prompt=A, text=B's transcript) is exactly a
-    training continuation. Returns metadata incl. per-segment notes."""
+                sr: int = 24000, seed: int = 7, n_notes: int = 6,
+                n_speakers: int = 1,
+                holdout_per_speaker: int = 0) -> dict:
+    """Each utterance = concat(segment A, segment B), so a zero-shot call
+    (prompt=A, text=B's transcript) is exactly a training continuation.
+
+    n_speakers > 1 builds the TRUE-zero-shot corpus: utterances are
+    assigned round-robin to deterministic voices (_speaker_profile) with
+    compositional speaker-free texts, and the LAST holdout_per_speaker
+    utterances of each speaker are EXCLUDED from data.list (training) —
+    they exist only as audio+features for held-out evaluation with a
+    re-tokenized prompt and unseen text. Returns metadata incl.
+    per-segment notes, per-utt speaker and holdout flags."""
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    meta = {"sr": sr, "seg_seconds": seg_seconds, "utts": []}
-    paths = []
+    meta = {"sr": sr, "seg_seconds": seg_seconds, "utts": [],
+            "n_speakers": n_speakers}
+    paths, train_paths = [], []
+    per_speaker = n_utts // max(n_speakers, 1)
     for i in range(n_utts):
+        spk = i % n_speakers
+        # round-robin: utterance i is this speaker's (i // n_speakers)-th
+        nth = i // n_speakers
+        holdout = (holdout_per_speaker > 0
+                   and nth >= per_speaker - holdout_per_speaker)
+        profile = _speaker_profile(spk, n_speakers)
         na = _segment_notes(rng, n_notes)
         nb = _segment_notes(rng, n_notes)
-        a = _synth(na, seg_seconds, sr)
-        b = _synth(nb, seg_seconds, sr)
+        a = _synth(na, seg_seconds, sr, profile)
+        b = _synth(nb, seg_seconds, sr, profile)
         wav = np.concatenate([a, b])
         p = out_dir / f"utt{i}.wav"
         _write_wav(p, wav, sr)
-        text_a = _text_for(na, i, "one")
+        if n_speakers > 1:
+            # speaker-free compositional text: held-out texts are new
+            # COMBINATIONS of seen words, and the voice must come from
+            # the prompt conditioning, not from the text
+            text_a = "say part one " + " ".join(_WORDS[j] for j in na)
+        else:
+            text_a = _text_for(na, i, "one")
         text_b = "and part two goes " + " ".join(_WORDS[j] for j in nb)
         (out_dir / f"utt{i}.txt").write_text(_training_text(text_a, text_b))
         meta["utts"].append({"wav": str(p), "notes_a": na.tolist(),
                              "notes_b": nb.tolist(), "text_a": text_a,
-                             "text_b": text_b})
+                             "text_b": text_b, "speaker": spk,
+                             "holdout": holdout})
         paths.append(str(p))
+        if not holdout:
+            train_paths.append(str(p))
     lst = out_dir / "data.list"
-    lst.write_text("\n".join(paths))
+    lst.write_text("\n".join(train_paths))
+    all_lst = out_dir / "all.list"
+    all_lst.write_text("\n".join(paths))
     meta["list"] = str(lst)
+    meta["all_list"] = str(all_lst)
     return meta
 
 
@@ -132,6 +191,24 @@ def _xcorr_peak(x: np.ndarray, y: np.ndarray, max_lag: int) -> float:
         denom = np.sqrt((a * a).sum() * (b * b).sum()) + 1e-12
         best = max(best, float((a * b).sum() / denom))
     return best
+
+
+def _mel_spectral_l1(x: np.ndarray, y: np.ndarray) -> float:
+    """Normalized log-mel L1 of x vs y (the reference's 'Mel spectral
+    loss' flow bar, TRAINING_GUIDE.md:224): mean |mel(x) - mel(y)|
+    divided by the mean absolute deviation of mel(y), so 0.05 means the
+    error is 5% of the target's own spectral variation."""
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.ops import mel as mel_ops
+
+    n = min(len(x), len(y))
+    mx = np.asarray(mel_ops.hifigan_log_mel(jnp.asarray(x[:n])))
+    my = np.asarray(mel_ops.hifigan_log_mel(jnp.asarray(y[:n])))
+    t = min(mx.shape[1], my.shape[1])
+    mx, my = mx[:, :t], my[:, :t]
+    dev = np.abs(my - my.mean()).mean() + 1e-12
+    return float(np.abs(mx - my).mean() / dev)
 
 
 def _mel_content_match(x: np.ndarray, y: np.ndarray) -> tuple:
@@ -168,7 +245,8 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         dac_iters: int = 1500, flow_epochs: int = 8000,
         flow_polish_epochs: int = 1500, llm_epochs: int = 300,
         llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 5e-4,
-        resume: bool = True,
+        resume: bool = True, n_speakers: int = 1,
+        holdout_per_speaker: int = 0,
         config: str = str(REPO / "configs/tiny.yaml")) -> dict:
     import jax
 
@@ -181,7 +259,9 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     corpus = workdir / "corpus"
     model_dir = workdir / "model"
     model_dir.mkdir(parents=True, exist_ok=True)
-    meta = make_corpus(corpus, n_utts=n_utts, seg_seconds=seg_seconds)
+    meta = make_corpus(corpus, n_utts=n_utts, seg_seconds=seg_seconds,
+                       n_speakers=n_speakers,
+                       holdout_per_speaker=holdout_per_speaker)
 
     # resolved config for both training and the final TTS model dir;
     # eval-friendly knobs: byte-tokenizer text is ~1.2 chars/speech-token
@@ -223,7 +303,11 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         return resume and all(Path(o).exists() for o in outputs)
 
     # 1. S3 tokenizer: fixed-seed weights define the token vocabulary
-    # (no released ckpt reachable here; determinism is what matters)
+    # (no released ckpt reachable here; determinism is what matters).
+    # Features are extracted for ALL utterances (holdouts included —
+    # extraction is not training; held-out sidecars feed the zero-shot
+    # oracle comparisons only).
+    all_list = meta.get("all_list", meta["list"])
     fsq_files = [str(Path(u["wav"]).with_suffix("")) + "_fsq.npy"
                  for u in meta["utts"]]
     if not stage_done(model_dir / "s3.npz", *fsq_files):
@@ -234,7 +318,7 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
             np.zeros((1, 64, tts_cfg.s3.n_mels), np.float32),
             np.array([64]))
         save_params(model_dir / "s3.npz", jax.device_get(s3_vars))
-        extract_fsq.main(["--file_list", meta["list"],
+        extract_fsq.main(["--file_list", all_list,
                           "--ckpt", str(model_dir / "s3.npz"),
                           "--config", str(cfg_path)])
 
@@ -267,7 +351,10 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
             "--augment_prob", "0.0", "--sample_freq", str(10 * dac_iters),
             "--export_npz", str(model_dir / "codec.npz")])
 
-    # 3. latents from the trained codec (+ per-channel stats)
+    # 3. latents from the trained codec (+ per-channel stats). Stats come
+    # from the TRAIN list only (holdout audio must not influence the
+    # flow's standardization constants); a second skip-existing pass
+    # extracts the held-out sidecars for evaluation.
     lat_files = [str(Path(u["wav"]).with_suffix("")) + "_latent2x.npz"
                  for u in meta["utts"]]
     stats_path = model_dir / "latent_stats.json"
@@ -277,6 +364,11 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
                                   "--config", str(cfg_path),
                                   "--stats_out", str(stats_path),
                                   "--verify_fraction", "0"])
+        if all_list != meta["list"]:
+            extract_dac_latents.main(
+                ["--file_list", all_list, "--skip_existing",
+                 "--ckpt", str(model_dir / "codec.npz"),
+                 "--config", str(cfg_path), "--verify_fraction", "0"])
 
     # standardize latents inside the flow (a from-scratch codec has no
     # KL pressure toward unit scale; CFM conditioning drowns when
@@ -339,6 +431,8 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
                                         "loss"),
     }
     metrics.update(evaluate(model_dir, corpus, meta))
+    if any(u.get("holdout") for u in meta["utts"]):
+        metrics.update(evaluate_zero_shot(model_dir, meta))
     return metrics
 
 
@@ -358,6 +452,8 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     cfg = p.cfg
     sr = meta["sr"]
     u = meta["utts"][0]
+    prof = _speaker_profile(u.get("speaker", 0),
+                            meta.get("n_speakers", 1))
     stem = Path(u["wav"]).with_suffix("")
     gt_tok = np.load(str(stem) + "_fsq.npy")
     gt_lat = np.load(str(stem) + "_latent2x.npz")["mu"]
@@ -366,7 +462,7 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     k = n // 2
 
     wav_full = _synth(np.array(u["notes_a"] + u["notes_b"]),
-                      2 * meta["seg_seconds"], sr)
+                      2 * meta["seg_seconds"], sr, prof)
 
     # conditioning exactly as in training: speaker encoder on the
     # utterance's own mel (train crops are random 0.5-4 s slices of it)
@@ -463,7 +559,8 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
         "lm_spk": lm_spk, "flow_emb": flow_emb,
         "prompt_text_tokens": np.asarray(
             tts.frontend.extract_text_tokens(text_a_norm), np.int32)}
-    a16k = _synth(np.array(u["notes_a"]), meta["seg_seconds"], 16000)
+    a16k = _synth(np.array(u["notes_a"]), meta["seg_seconds"], 16000,
+                  prof)
     outs = list(tts.inference_zero_shot(u["text_b"], u["text_a"], a16k,
                                         zero_shot_spk_id="heldin",
                                         stream=False, seed=0))
@@ -471,7 +568,7 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     outs_zs = list(tts.inference_zero_shot(u["text_b"], u["text_a"], a16k,
                                            stream=False, seed=0))
     syn_zs = np.concatenate([o["tts_speech"][0] for o in outs_zs])
-    b24k = _synth(np.array(u["notes_b"]), meta["seg_seconds"], sr)
+    b24k = _synth(np.array(u["notes_b"]), meta["seg_seconds"], sr, prof)
     # oracle decode: ground-truth latents through the trained codec —
     # isolates LM+flow fidelity from codec quality
     dec = jax.jit(lambda v, z: p.dac.apply(v, z,
@@ -488,6 +585,13 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
     syn_mean = np.asarray(dec(p.codec_vars,
                               jnp.asarray(mean4)[None]))[0, :, 0]
     mel_dev_mean4, pitch_acc_mean4 = _mel_content_match(syn_mean, oracle)
+    # the reference's SECOND flow success bar — "Mel spectral loss <
+    # 0.05" (reference: TRAINING_GUIDE.md:224) — on the posterior-mean
+    # decode: mean |log-mel(syn) - log-mel(oracle)| normalized by the
+    # oracle's log-mel deviation scale (our flow predicts latents, not
+    # mel, so the mel-space error of the decode is the analogue; the
+    # normalization makes the number scale-free like the recon bar)
+    mel_spectral_loss = _mel_spectral_l1(syn_mean, oracle)
 
     # (d) codec fidelity on training audio
     a = dac_vae.pad_to_hop(wav_full[None, :], cfg.dac.hop_length)
@@ -505,6 +609,7 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
             "gen_len": int(count[0]), "expect_len": len(expect),
             "flow_mse": flow_mse, "flow_nmse": flow_nmse,
             "flow_nmse_mean4": flow_nmse_mean4,
+            "mel_spectral_loss": mel_spectral_loss,
             "mel_dev_corr_mean4": mel_dev_mean4,
             "pitch_acc_mean4": pitch_acc_mean4,
             "wav_corr_oracle": wav_corr_oracle, "wav_corr_gt": wav_corr_gt,
@@ -518,10 +623,73 @@ def evaluate(model_dir: Path, corpus: Path, meta: dict) -> dict:
             "zs_syn_seconds": len(syn_zs) / sr}
 
 
+def evaluate_zero_shot(model_dir: Path, meta: dict,
+                       max_utts: int = 8) -> dict:
+    """TRUE zero-shot evaluation: held-out utterances, RE-TOKENIZED
+    prompts, unseen text — the product surface the reference ships
+    (speech/cosyvoice/cli/cosyvoice.py:92-104), with no spk2info
+    crutch. For each held-out utterance: prompt = its segment-A audio
+    (16 kHz, tokenized by the real frontend from the prompt alone) and
+    text = its segment-B transcript (an unseen word combination);
+    content is scored against the oracle decode of the held-out
+    ground-truth latents, and EOS against the known segment length."""
+    import jax
+    import jax.numpy as jnp
+
+    from minimax_speech_tpu.infer.api import TTS
+    from minimax_speech_tpu.models import dac_vae
+
+    tts = TTS(model_dir=str(model_dir))
+    p = tts.pipeline
+    sr = meta["sr"]
+    seg = meta["seg_seconds"]
+    dec = jax.jit(lambda v, z: p.dac.apply(v, z,
+                                           method=dac_vae.DACVAE.decode))
+    holdouts = [u for u in meta["utts"] if u.get("holdout")][:max_utts]
+    per = []
+    for u in holdouts:
+        profile = _speaker_profile(u["speaker"], meta["n_speakers"])
+        stem = Path(u["wav"]).with_suffix("")
+        gt_tok = np.load(str(stem) + "_fsq.npy")
+        gt_lat = np.load(str(stem) + "_latent2x.npz")["mu"]
+        n = min(len(gt_tok), gt_lat.shape[0] // 2)
+        k = n // 2
+        a16k = _synth(np.array(u["notes_a"]), seg, 16000, profile)
+        outs = list(tts.inference_zero_shot(u["text_b"], u["text_a"],
+                                            a16k, stream=False, seed=0))
+        syn = np.concatenate([o["tts_speech"][0] for o in outs])
+        oracle = np.asarray(dec(p.codec_vars,
+                                jnp.asarray(gt_lat[2 * k: 2 * n])[None])
+                            )[0, :, 0]
+        b24k = _synth(np.array(u["notes_b"]), seg, sr, profile)
+        mel_dev, pitch = _mel_content_match(syn, oracle)
+        mel_dev_gt, pitch_gt = _mel_content_match(syn, b24k)
+        rel_len_err = abs(len(syn) / sr - seg) / seg
+        per.append({"utt": stem.name, "speaker": u["speaker"],
+                    "pitch_acc": pitch, "mel_dev_corr": mel_dev,
+                    "pitch_acc_gt": pitch_gt,
+                    "mel_dev_corr_gt": mel_dev_gt,
+                    "wav_corr_gt": _xcorr_peak(syn, b24k, max_lag=960),
+                    "syn_seconds": len(syn) / sr,
+                    "rel_len_err": rel_len_err})
+    mean = lambda key: float(np.mean([r[key] for r in per]))  # noqa: E731
+    return {"zs_pitch_acc": mean("pitch_acc"),
+            "zs_mel_dev_corr": mean("mel_dev_corr"),
+            "zs_pitch_acc_gt": mean("pitch_acc_gt"),
+            "zs_wav_corr_gt": mean("wav_corr_gt"),
+            "zs_rel_len_err": mean("rel_len_err"),
+            "zs_eos_ok": float(np.mean([r["rel_len_err"] < 0.25
+                                        for r in per])),
+            "zs_n_holdout": len(per),
+            "zs_per_utt": per}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", type=str, required=True)
     ap.add_argument("--n_utts", type=int, default=4)
+    ap.add_argument("--n_speakers", type=int, default=1)
+    ap.add_argument("--holdout_per_speaker", type=int, default=0)
     ap.add_argument("--dac_iters", type=int, default=1500)
     ap.add_argument("--flow_epochs", type=int, default=8000)
     ap.add_argument("--flow_polish_epochs", type=int, default=1500)
@@ -545,7 +713,9 @@ def main(argv=None):
     metrics = run(wd, n_utts=args.n_utts, dac_iters=args.dac_iters,
                   flow_epochs=args.flow_epochs,
                   flow_polish_epochs=args.flow_polish_epochs,
-                  llm_epochs=args.llm_epochs)
+                  llm_epochs=args.llm_epochs,
+                  n_speakers=args.n_speakers,
+                  holdout_per_speaker=args.holdout_per_speaker)
     print(json.dumps(metrics))
 
 

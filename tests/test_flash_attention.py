@@ -192,3 +192,61 @@ def test_unet_splash_training_grad_matches_dense(rng):
     np.testing.assert_allclose(float(l_ours), float(l_ref), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_splash_sharded_mesh_matches_single(rng):
+    """Splash under shard_map on the 8-device mesh (dp=4 x tp=2) must
+    match the unsharded kernel in forward AND gradient — this is the
+    multi-chip LM training attention path (kernels/splash.py _MESH;
+    VERDICT r4: auto mode previously turned splash off under any
+    multi-device mesh)."""
+    from minimax_speech_tpu.kernels import splash
+    from minimax_speech_tpu.parallel import mesh as mesh_lib
+
+    b, h, t, d = 8, 4, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.2, jnp.float32)
+    kv_len = jnp.asarray(np.array([128, 100, 64, 128, 90, 128, 77, 128]))
+
+    def loss(qq, kk, vv):
+        out = splash.splash_causal_attention(qq, kk, vv, kv_len)
+        mask = (jnp.arange(t)[None, :] < kv_len[:, None]).astype(out.dtype)
+        return jnp.sum((out * mask[:, None, :, None]) ** 2)
+
+    splash._INTERPRET = True
+    try:
+        ref = splash.splash_causal_attention(q, k, v, kv_len)
+        g_ref = jax.grad(loss)(q, k, v)
+        splash.set_attention_mesh(mesh_lib.make_mesh(dp=4, tp=2))
+        out = jax.jit(splash.splash_causal_attention,
+                      static_argnames=())(q, k, v, kv_len)
+        g_out = jax.jit(jax.grad(loss))(q, k, v)
+    finally:
+        splash.set_attention_mesh(None)
+        splash._INTERPRET = False
+    mask = np.asarray(jnp.arange(t)[None, :] < kv_len[:, None])
+    m4 = mask[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(out) * m4, np.asarray(ref) * m4,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_lm_auto_splash_on_with_mesh(monkeypatch):
+    """qwen2 auto mode: splash stays ON under a multi-device mesh once
+    the harness registers it (and OFF when no mesh is registered)."""
+    import dataclasses
+    from minimax_speech_tpu.kernels import splash
+    from minimax_speech_tpu.models import qwen2
+    from minimax_speech_tpu.parallel import mesh as mesh_lib
+
+    cfg = qwen2.Qwen2Config(flash_train=None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not qwen2._use_splash_train(cfg, 512)  # 8 devices, no mesh
+    try:
+        splash.set_attention_mesh(mesh_lib.make_mesh(dp=4, tp=2))
+        assert qwen2._use_splash_train(cfg, 512)
+        assert not qwen2._use_splash_train(cfg, 500)  # T % 128 != 0
+    finally:
+        splash.set_attention_mesh(None)

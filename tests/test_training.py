@@ -236,3 +236,16 @@ def test_remat_policy_value_parity(rng):
                                    rtol=1e-6)
         np.testing.assert_allclose(results[name][1], results["plain"][1],
                                    rtol=1e-4)
+
+
+def test_remat_policy_typo_raises(rng):
+    """A misspelled remat_policy must fail loudly, not silently run the
+    full-recompute configuration (would invalidate throughput A/Bs)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SMALL_LM, qwen=dataclasses.replace(
+            SMALL_LM.qwen, remat=True, remat_policy="dot"))
+    model = llm_mod.SpeechLM(cfg)
+    with pytest.raises(ValueError, match="remat_policy"):
+        llm_mod.init_lm_variables(model, jax.random.PRNGKey(0))
