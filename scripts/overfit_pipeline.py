@@ -129,7 +129,7 @@ def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     rng = np.random.default_rng(seed)
     meta = {"sr": sr, "seg_seconds": seg_seconds, "utts": [],
             "n_speakers": n_speakers}
-    paths, train_paths = [], []
+    paths, train_paths, seg_paths = [], [], []
     per_speaker = n_utts // max(n_speakers, 1)
     for i in range(n_utts):
         spk = i % n_speakers
@@ -161,10 +161,23 @@ def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         paths.append(str(p))
         if not holdout:
             train_paths.append(str(p))
+            if n_speakers > 1:
+                # standalone segment-A training sample: zero-shot
+                # inference RE-TOKENIZES the prompt segment ALONE, and
+                # the S3 encoder is contextual (measured round 3: only
+                # 43% prefix match vs the full-utterance extraction) —
+                # training on the segments themselves puts the
+                # standalone-extraction token distribution in the
+                # LM/flow training data, the small-corpus stand-in for
+                # the scale that washes this out in the reference
+                ps = out_dir / f"utt{i}a.wav"
+                _write_wav(ps, a, sr)
+                ps.with_suffix(".txt").write_text(f"{text_a}.")
+                seg_paths.append(str(ps))
     lst = out_dir / "data.list"
-    lst.write_text("\n".join(train_paths))
+    lst.write_text("\n".join(train_paths + seg_paths))
     all_lst = out_dir / "all.list"
-    all_lst.write_text("\n".join(paths))
+    all_lst.write_text("\n".join(paths + seg_paths))
     meta["list"] = str(lst)
     meta["all_list"] = str(all_lst)
     return meta

@@ -1,0 +1,87 @@
+"""Multi-speaker zero-shot corpus properties (scripts/overfit_pipeline):
+v1 byte-stability, holdout bookkeeping, speaker separability."""
+import importlib.util
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_pipeline():
+    path = Path(__file__).parents[1] / "scripts" / "overfit_pipeline.py"
+    spec = importlib.util.spec_from_file_location("ofit", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _read_wav(p):
+    with wave.open(str(p)) as w:
+        return np.frombuffer(w.readframes(w.getnframes()),
+                             np.int16).astype(np.float32) / 32767
+
+
+def test_v1_corpus_deterministic(tmp_path):
+    ofit = _load_pipeline()
+    m1 = ofit.make_corpus(tmp_path / "a", n_utts=2)
+    m2 = ofit.make_corpus(tmp_path / "b", n_utts=2)
+    for a, b in zip(m1["utts"], m2["utts"]):
+        assert a["notes_a"] == b["notes_a"]
+        np.testing.assert_array_equal(_read_wav(a["wav"]),
+                                      _read_wav(b["wav"]))
+    # default profile is None -> legacy voice untouched
+    assert ofit._speaker_profile(0, 1) is None
+
+
+def test_v2_holdouts_and_lists(tmp_path):
+    ofit = _load_pipeline()
+    m = ofit.make_corpus(tmp_path, n_utts=16, n_speakers=4,
+                         holdout_per_speaker=1)
+    train = Path(m["list"]).read_text().splitlines()
+    allf = Path(m["all_list"]).read_text().splitlines()
+    # 12 train utts + 12 standalone segment-A samples (prompt-
+    # distribution augmentation); holdouts excluded from BOTH
+    assert len(train) == 24 and len(allf) == 28
+    segs = [p for p in train if p.endswith("a.wav")]
+    assert len(segs) == 12
+    hold = [u for u in m["utts"] if u["holdout"]]
+    assert len(hold) == 4
+    assert {u["speaker"] for u in hold} == {0, 1, 2, 3}
+    for u in hold:
+        assert u["wav"] not in train and u["wav"] in allf
+        stem = u["wav"][:-4]
+        assert all(not p.startswith(stem + "a") for p in allf)
+    # texts are compositional (no per-utterance identity words)
+    for u in m["utts"]:
+        assert u["text_a"].startswith("say part one ")
+
+
+def test_v2_speakers_separable(tmp_path):
+    """Speaker identity must be recoverable from a short clip (the
+    zero-shot path conditions on the prompt only): leave-one-out
+    nearest-centroid classification on log band energies must be
+    near-perfect across utterances."""
+    ofit = _load_pipeline()
+    m = ofit.make_corpus(tmp_path, n_utts=24, n_speakers=4,
+                         holdout_per_speaker=0)
+    edges = np.geomspace(70, 2000, 49)
+
+    def feats(u):
+        x = _read_wav(u["wav"])[:24000]
+        sp = np.abs(np.fft.rfft(x)) ** 2
+        f = np.fft.rfftfreq(len(x), 1 / 24000)
+        e = np.array([sp[(f >= lo) & (f < hi)].sum()
+                      for lo, hi in zip(edges, edges[1:])])
+        return np.log(e + 1e-9)
+
+    X = np.stack([feats(u) for u in m["utts"]])
+    y = np.array([u["speaker"] for u in m["utts"]])
+    correct = 0
+    for i in range(len(X)):
+        means = [X[(y == s) & (np.arange(len(X)) != i)].mean(0)
+                 for s in range(4)]
+        pred = int(np.argmin([np.linalg.norm(X[i] - mu) for mu in means]))
+        correct += pred == y[i]
+    acc = correct / len(X)
+    assert acc >= 0.95, acc
