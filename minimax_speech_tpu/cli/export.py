@@ -39,6 +39,16 @@ def main(argv=None):
                    help="also compile the serving surfaces (fused "
                         "one-shot, batched, continuous, streaming) so a "
                         "later `cli.serve` start only deserializes")
+    p.add_argument("--matcha", action="store_true",
+                   help="also compile the standalone Matcha "
+                        "text->mel->wav program per bucket (the "
+                        "matcha/onnx export analogue: the reference "
+                        "exports its Matcha graph to ONNX, "
+                        "matcha/onnx/export.py; here every bucket is "
+                        "AOT-compiled into the same executable cache "
+                        "cli.matcha reads)")
+    p.add_argument("--matcha_ckpt", default=None)
+    p.add_argument("--matcha_vocoder_ckpt", default=None)
     p.add_argument("--tokenizer_path", default=None)
     args = p.parse_args(argv)
 
@@ -104,6 +114,40 @@ def main(argv=None):
         tts = TTS(pipeline=pipe, tokenizer_path=args.tokenizer_path)
         warm_serving(tts, scheduler="window")
         warm_serving(tts, scheduler="continuous", streaming=False)
+
+    if args.matcha:
+        from minimax_speech_tpu.models.matcha import (MatchaConfig,
+                                                      MatchaTTS,
+                                                      matcha_synthesise)
+        from minimax_speech_tpu.models.matcha_hifigan import (
+            MatchaHiFiGAN, MatchaHiFiGANConfig)
+        mcfg = MatchaConfig()
+        mmodel = MatchaTTS(mcfg)
+        vocoder = MatchaHiFiGAN(MatchaHiFiGANConfig(
+            in_channels=mcfg.n_feats))
+        if args.matcha_ckpt:
+            mvars = load_params(args.matcha_ckpt)
+        else:
+            mvars = jax.jit(mmodel.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                jnp.array([8]), jnp.zeros((1, 16, mcfg.n_feats)),
+                jnp.array([16]), jax.random.PRNGKey(0))
+        vvars = (load_params(args.matcha_vocoder_ckpt)
+                 if args.matcha_vocoder_ckpt else
+                 jax.jit(vocoder.init)(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, 8, mcfg.n_feats))))
+
+        @jax.jit
+        def matcha_fused(tokens, lens, key_):
+            mel, y_len = matcha_synthesise(mmodel, mvars, tokens, lens,
+                                           key_)
+            return mel, y_len, vocoder.apply(vvars, mel)
+
+        for b in buckets:
+            matcha_fused(jnp.zeros((1, b), jnp.int32), jnp.array([b]),
+                         jax.random.PRNGKey(0))
+            print(f"matcha bucket {b}: compiled "
+                  f"({time.time() - t0:.1f}s cumulative)")
     print(f"export done; executables cached in {cache_dir}")
 
 
