@@ -52,6 +52,14 @@ run_step train_dots 2400 scripts/bench_train.py --stage llm --bf16 --remat \
   --remat_policy dots
 run_step train_flow_dac 3600 scripts/bench_train.py --stage flow
 run_step train_dac 3600 scripts/bench_train.py --stage dac
+# 5b. bf16-flow QUALITY gate on trained weights (needs a completed
+# overfit/zero-shot workdir; skipped when none exists)
+ZS_WD=${ZS_WD:-/root/zs_tpu}
+if [ -f "$ZS_WD/model/flow.npz" ]; then
+  run_step eval_bf16_flow 2400 scripts/eval_bf16_flow.py --workdir "$ZS_WD"
+else
+  log "eval_bf16_flow skipped: no trained weights at $ZS_WD"
+fi
 # 6. continuous batching: batch scaling + staggered-arrival comparison
 run_step throughput 3600 scripts/bench_throughput.py --batches 1,4,8
 run_step throughput_staggered 3600 scripts/bench_throughput.py \
