@@ -50,9 +50,15 @@ def _speaker_profile(s: int, n_speakers: int) -> dict | None:
     re-tokenized prompt + speaker embedding only."""
     if n_speakers <= 1:
         return None
-    ratio = 2.0 ** ((s - (n_speakers - 1) / 2) / 4.0)
+    # register ladder: 2^(1/3) between adjacent speakers (measured: the
+    # 2^(1/4) ladder under-separates — the shared melody inventory
+    # itself spans 2x, so adjacent registers overlap and leave-one-out
+    # band-energy classification drops to 0.91 at 8 speakers; /3 spacing
+    # with alternating tilt restores ~1.0). The 1.1 shift keeps the
+    # lowest speaker's f0 above ~70 Hz (inside the f0-resolving band).
+    ratio = 1.1 * 2.0 ** ((s - (n_speakers - 1) / 2) / 3.0)
     alpha = (0.35, 0.55, 0.75, 0.95)[s % 4]     # harmonic decay
-    tilt = 1.6 if (s // 4) % 2 else 0.6          # even-harmonic emphasis
+    tilt = 1.6 if s % 2 else 0.6                 # even-harmonic emphasis
     raw = [alpha ** h * (tilt if (h + 1) % 2 == 0 else 1.0)
            for h in range(4)]
     tot = sum(raw)
@@ -381,7 +387,12 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
             extract_dac_latents.main(
                 ["--file_list", all_list, "--skip_existing",
                  "--ckpt", str(model_dir / "codec.npz"),
-                 "--config", str(cfg_path), "--verify_fraction", "0"])
+                 "--config", str(cfg_path), "--verify_fraction", "0",
+                 # empty stats_out suppresses the write-next-to-ckpt
+                 # default: this pass includes the HOLDOUTS, and their
+                 # stats must not overwrite the train-only constants the
+                 # flow standardizes with (no-leak requirement)
+                 "--stats_out", ""])
 
     # standardize latents inside the flow (a from-scratch codec has no
     # KL pressure toward unit scale; CFM conditioning drowns when

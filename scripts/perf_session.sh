@@ -13,7 +13,7 @@ log() { echo "[perf $(date -u +%H:%M:%S)] $*" | tee -a "$OUT/session.log" >&2; }
 
 probe() {
   rm -f /tmp/probe_log.txt
-  timeout 150 python /tmp/probe_tpu.py >/dev/null 2>&1
+  timeout 150 python scripts/probe_tpu.py >/dev/null 2>&1
   grep -q "fetch" /tmp/probe_log.txt 2>/dev/null || return 1
   # degraded if the trivial fetch took >15 s
   local s
