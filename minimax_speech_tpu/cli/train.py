@@ -278,7 +278,35 @@ def main(argv=None):
             return {"loss": flow_loss(state.params, batch, key)}
 
     max_epoch = args.max_epoch or tcfg.get("max_epoch", 2000)
-    for epoch in range(max_epoch):
+    # epoch-level resume: a checkpoint restores step/params but the loop
+    # below counted from 0 on every restart, so a preempted/relaunched
+    # run re-trained ANOTHER max_epoch epochs — and a run whose single
+    # attempt can't fit max_epoch epochs never finished. Completed-epoch
+    # state persists per run identity (the train config + max_epoch, so
+    # a follow-on stage with different budget/lr — e.g. a low-LR polish
+    # pass reusing the same model_dir — still starts at epoch 0).
+    import hashlib
+    import json as json_lib
+    run_key = hashlib.sha256(json_lib.dumps(
+        [tcfg, max_epoch], sort_keys=True, default=str
+    ).encode()).hexdigest()[:16]
+    ep_path = Path(args.model_dir) / "epoch_state.json"
+    start_epoch = 0
+    if start_step and ep_path.exists():
+        try:
+            es = json_lib.loads(ep_path.read_text())
+            if es.get("key") == run_key:
+                # the restored checkpoint can lag the epoch-state write
+                # by up to save_per_step steps; roll the resume point
+                # back by the lag (>=1 step/epoch assumption) so we
+                # never SKIP epochs the restored params never trained —
+                # re-training a few epochs is safe, skipping is not
+                lag = max(0, int(es.get("step", 0)) - int(start_step))
+                start_epoch = max(0, int(es["epoch"]) + 1 - lag)
+                print(f"resuming at epoch {start_epoch}/{max_epoch}")
+        except (ValueError, KeyError):  # partial write: start over
+            pass
+    for epoch in range(start_epoch, max_epoch):
         source.set_epoch(epoch)
         batches = dp.prefetch(dp.build_dataset(source, stages),
                               depth=args.prefetch)
@@ -289,6 +317,15 @@ def main(argv=None):
             batches = dist_utils.uneven_join_batches(batches)
         ex.train_one_epoch(batches)
         logger.log(ex.step, {"epoch": epoch}, force=True)
+        if jax.process_index() == 0:
+            # atomic (tmp+rename): a kill mid-write must not corrupt the
+            # resume point; epoch state only counts an epoch whose steps
+            # are at least checkpoint-recoverable next save
+            tmp = ep_path.with_suffix(".json.tmp")
+            tmp.write_text(json_lib.dumps({"key": run_key,
+                                           "epoch": epoch,
+                                           "step": ex.step}))
+            tmp.replace(ep_path)
         if cv_source is not None:
             cv_batches = dp.build_dataset(cv_source, stages)
             ex.cv(cv_batches, cv_loss)

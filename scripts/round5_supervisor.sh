@@ -13,29 +13,38 @@ STATE=${1:-/root/r5_state}
 mkdir -p "$STATE"
 log() { echo "[r5 $(date -u +%H:%M:%S)] $*" | tee -a "$STATE/supervisor.log" >&2; }
 
-probe_ok() {  # $1 = max acceptable first-fetch seconds
-  local thresh=${1:-15}
+probe_ok() {  # $1 = mode: "perf" (first fetch < 15 s, trustworthy
+              # timings) or "usable" (steady-state RTT < 5 s — the
+              # measured tunnel pattern is a one-off first-fetch penalty
+              # of minutes followed by sub-second dispatches, which a
+              # long stage-resumable run amortizes)
+  local mode=${1:-perf}
   rm -f /tmp/probe_log.txt
-  timeout 150 python scripts/probe_tpu.py >/dev/null 2>&1
-  grep -q "fetch" /tmp/probe_log.txt 2>/dev/null || return 1
-  local s
-  s=$(sed -n 's/fetch \([0-9.]*\)s.*/\1/p' /tmp/probe_log.txt)
-  awk -v s="$s" -v t="$thresh" 'BEGIN { exit !(s < t) }'
+  timeout 280 python scripts/probe_tpu.py >/dev/null 2>&1
+  if [ "$mode" = usable ]; then
+    local st
+    st=$(sed -n 's/steady \([0-9.]*\)s.*/\1/p' /tmp/probe_log.txt 2>/dev/null)
+    [ -n "$st" ] || return 1
+    awk -v s="$st" 'BEGIN { exit !(s < 5) }'
+  else
+    grep -q "fetch" /tmp/probe_log.txt 2>/dev/null || return 1
+    local s
+    s=$(sed -n 's/fetch \([0-9.]*\)s.*/\1/p' /tmp/probe_log.txt)
+    awk -v s="$s" 'BEGIN { exit !(s < 15) }'
+  fi
 }
 
-wait_healthy() {  # $1 = threshold: 15 for perf-trustworthy, ~90 for
-                  # "merely usable" (the zero-shot run is stage-resumable
-                  # and only needs progress, not clean timings)
-  until probe_ok "${1:-15}"; do
-    log "tunnel below threshold ${1:-15}s ($(tail -1 /tmp/probe_log.txt 2>/dev/null || echo 'no probe output')); sleeping 180s"
+wait_healthy() {  # $1 = probe mode (perf | usable)
+  until probe_ok "${1:-perf}"; do
+    log "tunnel fails '${1:-perf}' gate ($(tail -1 /tmp/probe_log.txt 2>/dev/null || echo 'no probe output')); sleeping 180s"
     sleep 180
   done
-  log "tunnel ok (thresh ${1:-15}s): $(tr '\n' ' ' < /tmp/probe_log.txt)"
+  log "tunnel ok (${1:-perf}): $(tr '\n' ' ' < /tmp/probe_log.txt)"
 }
 
 # ---- phase 1: true zero-shot proof -------------------------------------
 if [ ! -f "$STATE/zs_done" ]; then
-  wait_healthy 90
+  wait_healthy usable
   log "phase 1: zero-shot proof -> /root/zs_tpu"
   if bash scripts/overfit_supervised.sh /root/zs_tpu 3600 \
       --n_utts 64 --n_speakers 8 --holdout_per_speaker 1 \

@@ -138,3 +138,41 @@ def test_train_cli_dpo_epoch(tmp_path, rng):
     assert any("dpo/loss" in r for r in rows)
     assert any("dpo/chosen_reward" in r and "dpo/rejected_reward" in r
                for r in rows)
+
+
+@pytest.mark.slow
+def test_train_cli_epoch_resume(tmp_path, rng):
+    """Epoch-level resume: a relaunched run continues the epoch budget
+    instead of training ANOTHER max_epoch epochs (the gang-restart /
+    supervised-attempt case), while a follow-on run with a different
+    budget (e.g. a low-LR polish pass on the same model_dir) starts its
+    own epoch count at 0."""
+    from minimax_speech_tpu.cli import train as train_cli
+    lst = make_corpus(tmp_path, rng)
+    model_dir = tmp_path / "exp_llm"
+    common = [
+        "--model", "llm", "--config", "configs/tiny.yaml",
+        "--train_data", str(lst), "--model_dir", str(model_dir),
+        "--dp", "1",
+        "--override", "train.save_per_step=1",
+        "--override", "train.log_interval=1",
+        "--override", "train.max_frames_in_batch=300",
+    ]
+    train_cli.main(common + ["--max_epoch", "2"])
+    ep = json.loads((model_dir / "epoch_state.json").read_text())
+    assert ep["epoch"] == 1
+    metrics_file = model_dir / "llm_metrics.jsonl"
+    steps_after_first = len(metrics_file.read_text().splitlines())
+
+    # same budget relaunched: all epochs already done -> no new steps
+    train_cli.main(common + ["--max_epoch", "2"])
+    rows = [json.loads(l) for l in
+            metrics_file.read_text().splitlines()[steps_after_first:]]
+    assert not any("loss" in r for r in rows), rows
+
+    # different budget (polish analogy): trains again from the ckpt
+    train_cli.main(common + ["--max_epoch", "3",
+                             "--override", "train.lr=1e-5"])
+    rows = [json.loads(l) for l in
+            metrics_file.read_text().splitlines()[steps_after_first:]]
+    assert any("loss" in r for r in rows)
