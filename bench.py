@@ -50,10 +50,11 @@ def main():
         bf16_flow=os.environ.get("MSTPU_BF16_FLOW", "0") not in ("", "0"))
     cfg.lm = dataclasses.replace(
         cfg.lm, qwen=dataclasses.replace(cfg.lm.qwen, quantized=True),
-        # MSTPU_PREGEN=1 A/Bs the pregenerated-noise decode (see
-        # ops/sampling.py:ras_sample_batch_pregen); flip the default
-        # once bench_decode_variants shows a win on TPU
-        pregen_noise=os.environ.get("MSTPU_PREGEN", "0") not in ("", "0"))
+        # pregen-noise decode is the measured default (round-5 A/B:
+        # 0.03395 vs 0.03485 RTF); MSTPU_PREGEN=0 A/Bs the per-step
+        # threefry-split decode
+        pregen_noise=os.environ.get(
+            "MSTPU_PREGEN", "1") not in ("", "0"))
     pipe = pl.TTSPipeline.from_random(cfg, jax.random.PRNGKey(0))
 
     def to_bf16(tree):

@@ -50,8 +50,11 @@ class Qwen2Config:
     # layer in the backward pass (minimum memory); "dots" keeps weight-
     # matmul outputs (no batch-dim dots, i.e. not attention scores) so the
     # backward pass skips recomputing the MXU-heavy projections — the
-    # usual transformer sweet spot when activations fit
-    remat_policy: str = "none"
+    # usual transformer sweet spot when activations fit.
+    # Default "dots": measured round 5 on v5e (batch 16 x seq 512, bf16),
+    # 330.5 ms/step dots vs 364.4 ms full recompute (and 271.1 ms with
+    # remat off — remat itself stays opt-in for memory headroom).
+    remat_policy: str = "dots"
     # training attention kernel: None = auto (splash on TPU when T is a
     # multiple of 128), "splash" = force, "xla" = force the einsum path.
     # The XLA fallback materializes (B, H, T, T) fp32 scores (224 MB per

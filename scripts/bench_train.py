@@ -146,16 +146,17 @@ def bench_dac(batch, samples=24000):
     import jax.numpy as jnp
 
     from minimax_speech_tpu.models.dac_vae import (DACVAE, DACVAEConfig)
-    from minimax_speech_tpu.models.discriminators import Discriminator
+    from minimax_speech_tpu.models.discriminators import DACDiscriminator
     from minimax_speech_tpu.train import gan_steps, schedule, steps
 
     gen = DACVAE(DACVAEConfig())
-    disc = Discriminator()
+    disc = DACDiscriminator()
     key = jax.random.PRNGKey(0)
     audio = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, samples)).astype(np.float32) * 0.1)
-    g_vars = jax.jit(lambda k: gen.init(k, audio[..., None], k))(key)
-    d_vars = jax.jit(lambda k: disc.init(k, audio))(key)
+    # same init conventions as cli/train_dac.py:78-79
+    g_vars = jax.jit(gen.init)(key, audio[..., None])
+    d_vars = jax.jit(disc.init)(key, audio)
     tx = schedule.make_optimizer(lr=1e-4, warmup_steps=100)
     g_state = steps.make_train_state(g_vars["params"], tx)
     d_state = steps.make_train_state(d_vars["params"], tx)

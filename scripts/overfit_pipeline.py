@@ -120,7 +120,8 @@ def _write_wav(path: Path, audio: np.ndarray, sr: int):
 def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
                 sr: int = 24000, seed: int = 7, n_notes: int = 6,
                 n_speakers: int = 1,
-                holdout_per_speaker: int = 0) -> dict:
+                holdout_per_speaker: int = 0,
+                n_extra_texts: int = 0) -> dict:
     """Each utterance = concat(segment A, segment B), so a zero-shot call
     (prompt=A, text=B's transcript) is exactly a training continuation.
 
@@ -180,12 +181,47 @@ def make_corpus(out_dir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
                 _write_wav(ps, a, sr)
                 ps.with_suffix(".txt").write_text(f"{text_a}.")
                 seg_paths.append(str(ps))
+    # LM-only text-diversity augmentation: extra utterances (new melody
+    # combinations, round-robin voices, full + standalone-A samples)
+    # that train ONLY the text->token stage. The flow conditions on
+    # tokens, not text, so it generalizes without them (measured:
+    # flow_nmse 0.094 on held-out utterances at 64 utts) — extras widen
+    # the LM's compositional coverage without invalidating a trained
+    # flow/DAC. Drawn AFTER the main loop so utts 0..n_utts-1 are
+    # byte-identical for any n_extra_texts (stage resume safe).
+    extra_paths, extra_seg_paths = [], []
+    for j in range(n_extra_texts):
+        spk = j % max(n_speakers, 1)
+        profile = _speaker_profile(spk, n_speakers)
+        na = _segment_notes(rng, n_notes)
+        nb = _segment_notes(rng, n_notes)
+        a = _synth(na, seg_seconds, sr, profile)
+        b = _synth(nb, seg_seconds, sr, profile)
+        p = out_dir / f"utt_x{j}.wav"
+        _write_wav(p, np.concatenate([a, b]), sr)
+        if n_speakers > 1:
+            text_a = "say part one " + " ".join(_WORDS[i] for i in na)
+        else:
+            text_a = _text_for(na, n_utts + j, "one")
+        text_b = "and part two goes " + " ".join(_WORDS[i] for i in nb)
+        p.with_suffix(".txt").write_text(_training_text(text_a, text_b))
+        extra_paths.append(str(p))
+        ps = out_dir / f"utt_x{j}a.wav"
+        _write_wav(ps, a, sr)
+        ps.with_suffix(".txt").write_text(f"{text_a}.")
+        extra_seg_paths.append(str(ps))
     lst = out_dir / "data.list"
     lst.write_text("\n".join(train_paths + seg_paths))
     all_lst = out_dir / "all.list"
-    all_lst.write_text("\n".join(paths + seg_paths))
+    all_lst.write_text("\n".join(paths + seg_paths + extra_paths
+                                 + extra_seg_paths))
     meta["list"] = str(lst)
     meta["all_list"] = str(all_lst)
+    if n_extra_texts:
+        lm_lst = out_dir / "llm.list"
+        lm_lst.write_text("\n".join(train_paths + seg_paths + extra_paths
+                                    + extra_seg_paths))
+        meta["lm_list"] = str(lm_lst)
     return meta
 
 
@@ -265,7 +301,8 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         flow_polish_epochs: int = 1500, llm_epochs: int = 300,
         llm_lr: float = 1e-3, flow_lr: float = 2e-3, dac_lr: float = 5e-4,
         resume: bool = True, n_speakers: int = 1,
-        holdout_per_speaker: int = 0,
+        holdout_per_speaker: int = 0, n_extra_texts: int = 0,
+        lm_hidden: int = 0, lm_layers: int = 0,
         config: str = str(REPO / "configs/tiny.yaml")) -> dict:
     import jax
 
@@ -280,7 +317,8 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     model_dir.mkdir(parents=True, exist_ok=True)
     meta = make_corpus(corpus, n_utts=n_utts, seg_seconds=seg_seconds,
                        n_speakers=n_speakers,
-                       holdout_per_speaker=holdout_per_speaker)
+                       holdout_per_speaker=holdout_per_speaker,
+                       n_extra_texts=n_extra_texts)
 
     # resolved config for both training and the final TTS model dir;
     # eval-friendly knobs: byte-tokenizer text is ~1.2 chars/speech-token
@@ -311,6 +349,22 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         "model.flow.cfm.inference_cfg_rate=0.0",
         "model.flow.cfm.use_contrastive_fm=false",
     ])
+    if lm_hidden:
+        # larger Stage-1 LM for the zero-shot proof: tiny.yaml's 32-dim
+        # 2-layer qwen memorizes the corpus (train acc 1.0) but lacks
+        # the capacity for COMPOSITIONAL text->token generalization the
+        # held-out texts require; only the LM stage changes (flow/DAC
+        # are conditioned on tokens, not text, and stay reusable)
+        data = cfg_lib.apply_overrides(data, [
+            f"model.lm.llm_input_size={lm_hidden}",
+            f"model.lm.llm_output_size={lm_hidden}",
+            f"model.lm.qwen.hidden_size={lm_hidden}",
+            f"model.lm.qwen.head_dim={lm_hidden // 4}",
+            f"model.lm.qwen.intermediate_size={2 * lm_hidden}",
+        ])
+    if lm_layers:
+        data = cfg_lib.apply_overrides(
+            data, [f"model.lm.qwen.n_layers={lm_layers}"])
     cfg_path = model_dir / "config.yaml"
     import yaml
     cfg_path.write_text(yaml.safe_dump(data))
@@ -327,8 +381,12 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     # extraction is not training; held-out sidecars feed the zero-shot
     # oracle comparisons only).
     all_list = meta.get("all_list", meta["list"])
-    fsq_files = [str(Path(u["wav"]).with_suffix("")) + "_fsq.npy"
-                 for u in meta["utts"]]
+    # completion checks cover EVERY file in all.list (not just the main
+    # utterances) so adding extras to a resumed workdir re-triggers
+    # extraction for exactly the missing sidecars (skip_existing)
+    all_paths = [l for l in Path(all_list).read_text().splitlines() if l]
+    fsq_files = [str(Path(w).with_suffix("")) + "_fsq.npy"
+                 for w in all_paths]
     if not stage_done(model_dir / "s3.npz", *fsq_files):
         from minimax_speech_tpu.models import s3tokenizer as s3
         s3_model = s3.S3TokenizerV2(tts_cfg.s3)
@@ -374,8 +432,8 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     # from the TRAIN list only (holdout audio must not influence the
     # flow's standardization constants); a second skip-existing pass
     # extracts the held-out sidecars for evaluation.
-    lat_files = [str(Path(u["wav"]).with_suffix("")) + "_latent2x.npz"
-                 for u in meta["utts"]]
+    lat_files = [str(Path(w).with_suffix("")) + "_latent2x.npz"
+                 for w in all_paths]
     stats_path = model_dir / "latent_stats.json"
     if not stage_done(stats_path, *lat_files):
         extract_dac_latents.main(["--file_list", meta["list"],
@@ -438,7 +496,7 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
     if not stage_done(model_dir / "llm.npz"):
         train_cli.main([
             "--model", "llm", "--config", str(cfg_path),
-            "--train_data", meta["list"],
+            "--train_data", meta.get("lm_list", meta["list"]),
             "--model_dir", str(workdir / "exp_llm"),
             "--max_epoch", str(llm_epochs), "--dp", "1",
             "--export_npz", str(model_dir / "llm.npz"),
@@ -714,6 +772,13 @@ def main(argv=None):
     ap.add_argument("--n_utts", type=int, default=4)
     ap.add_argument("--n_speakers", type=int, default=1)
     ap.add_argument("--holdout_per_speaker", type=int, default=0)
+    ap.add_argument("--n_extra_texts", type=int, default=0,
+                    help="LM-only augmentation utterances (text->token "
+                         "compositional coverage; flow/DAC unaffected)")
+    ap.add_argument("--lm_hidden", type=int, default=0,
+                    help="override the Stage-1 LM width (0 = config)")
+    ap.add_argument("--lm_layers", type=int, default=0,
+                    help="override the Stage-1 LM depth (0 = config)")
     ap.add_argument("--dac_iters", type=int, default=1500)
     ap.add_argument("--flow_epochs", type=int, default=8000)
     ap.add_argument("--flow_polish_epochs", type=int, default=1500)
@@ -739,7 +804,9 @@ def main(argv=None):
                   flow_polish_epochs=args.flow_polish_epochs,
                   llm_epochs=args.llm_epochs,
                   n_speakers=args.n_speakers,
-                  holdout_per_speaker=args.holdout_per_speaker)
+                  holdout_per_speaker=args.holdout_per_speaker,
+                  n_extra_texts=args.n_extra_texts,
+                  lm_hidden=args.lm_hidden, lm_layers=args.lm_layers)
     print(json.dumps(metrics))
 
 
