@@ -303,6 +303,7 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
         resume: bool = True, n_speakers: int = 1,
         holdout_per_speaker: int = 0, n_extra_texts: int = 0,
         lm_hidden: int = 0, lm_layers: int = 0,
+        hybrid_prefix: bool = False,
         config: str = str(REPO / "configs/tiny.yaml")) -> dict:
     import jax
 
@@ -451,6 +452,41 @@ def run(workdir: Path, n_utts: int = 4, seg_seconds: float = 1.2,
                  # stats must not overwrite the train-only constants the
                  # flow standardizes with (no-leak requirement)
                  "--stats_out", ""])
+
+    # 3b. hybrid-prefix LM samples: zero-shot inference conditions on
+    # [tokens(prompt-segment extracted ALONE) ++ full text] and must
+    # continue with segment-B tokens — a conditional that appears in
+    # NEITHER the full-utterance samples (joint-extraction prefix) nor
+    # the standalone-A samples (no B text). Build it explicitly from
+    # TRAINING files only: tokens = concat(fsq(A-standalone),
+    # fsq(full)[len_a:]), text/audio = the full utterance's. LM-only
+    # (appended to llm.list); the flow never sees hybrids.
+    if hybrid_prefix and "lm_list" in meta:
+        lm_paths = [l for l in
+                    Path(meta["lm_list"]).read_text().splitlines() if l]
+        hybrids = []
+        for w in list(lm_paths):
+            stem = Path(w).with_suffix("")
+            seg = Path(str(stem) + "a.wav")
+            if not seg.exists() or str(stem).endswith("a"):
+                continue
+            fsq_a = np.load(str(stem) + "a_fsq.npy")
+            fsq_f = np.load(str(stem) + "_fsq.npy")
+            la = min(len(fsq_a), len(fsq_f))
+            hyb = np.concatenate([fsq_a[:la], fsq_f[la:]])
+            h = Path(str(stem) + "h.wav")
+            if not h.exists():
+                shutil.copyfile(w, h)
+                shutil.copyfile(str(stem) + ".txt", str(stem) + "h.txt")
+                # LM batches never read latents, but the pipeline opener
+                # requires the sidecar to exist — reuse the full utt's
+                shutil.copyfile(str(stem) + "_latent2x.npz",
+                                str(stem) + "h_latent2x.npz")
+            np.save(str(stem) + "h_fsq.npy", hyb.astype(np.int32))
+            hybrids.append(str(h))
+        if hybrids and not lm_paths[-1].endswith("h.wav"):
+            Path(meta["lm_list"]).write_text(
+                "\n".join(lm_paths + hybrids))
 
     # standardize latents inside the flow (a from-scratch codec has no
     # KL pressure toward unit scale; CFM conditioning drowns when
@@ -779,6 +815,10 @@ def main(argv=None):
                     help="override the Stage-1 LM width (0 = config)")
     ap.add_argument("--lm_layers", type=int, default=0,
                     help="override the Stage-1 LM depth (0 = config)")
+    ap.add_argument("--hybrid_prefix", action="store_true",
+                    help="LM-only samples with the exact zero-shot "
+                         "conditional: standalone-A token prefix ++ "
+                         "joint-B continuation under the full text")
     ap.add_argument("--dac_iters", type=int, default=1500)
     ap.add_argument("--flow_epochs", type=int, default=8000)
     ap.add_argument("--flow_polish_epochs", type=int, default=1500)
@@ -806,7 +846,8 @@ def main(argv=None):
                   n_speakers=args.n_speakers,
                   holdout_per_speaker=args.holdout_per_speaker,
                   n_extra_texts=args.n_extra_texts,
-                  lm_hidden=args.lm_hidden, lm_layers=args.lm_layers)
+                  lm_hidden=args.lm_hidden, lm_layers=args.lm_layers,
+                  hybrid_prefix=args.hybrid_prefix)
     print(json.dumps(metrics))
 
 
